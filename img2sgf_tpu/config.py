@@ -1,0 +1,92 @@
+"""Detection configuration.
+
+One frozen dataclass holding every tunable of the reference pipeline plus the
+static capacity knobs the TPU build needs (fixed shapes under jit).
+
+Reference field origins (file:line in /root/reference/img2sgf.py):
+  board_size=19                 :43
+  line_threshold default 80     :44   (usually auto-chosen, see choose_line_threshold)
+  black_stone_threshold=128     :45-46
+  edge_min/edge_max=50/200      :47-48
+  sobel_aperture=3              :49
+  gradient L1                   :50
+  maxblur=3 (-> blur k=1,3,5,7) :51
+  angle_tolerance=1 degree      :52-53
+  min_grid_spacing=10 px        :54
+  big_space_ratio=1.6           :55
+  contrast/brightness=70/50     :56-57
+  HoughCircles(dp=1, minDist=10, param1=100, param2=30, r in [1,30])  :180
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectionConfig:
+    # Board / grid model
+    board_size: int = 19
+    min_grid_spacing: float = 10.0
+    big_space_ratio: float = 1.6
+
+    # Line detection (Hough)
+    line_threshold: int = 80
+    angle_tolerance_deg: float = 1.0
+
+    # Stone colour classification
+    black_stone_threshold: float = 128.0
+
+    # Canny edge detection
+    edge_min: float = 50.0
+    edge_max: float = 200.0
+    sobel_aperture: int = 3
+    gradient_l2: bool = False
+
+    # Preprocess
+    contrast: float = 70.0
+    brightness: float = 50.0
+
+    # Blur pyramid for circle detection: k = 1, 3, ..., 2*maxblur+1
+    maxblur: int = 3
+
+    # Circle detection (OpenCV HOUGH_GRADIENT semantics, img2sgf.py:180)
+    circle_min_dist: float = 10.0
+    circle_canny_high: float = 100.0   # param1; internal Canny runs (param1/2, param1)
+    circle_acc_threshold: float = 30.0  # param2; centre vote + radius support threshold
+    circle_min_radius: int = 1
+    circle_max_radius: int = 30
+
+    # --- TPU static-shape capacity knobs (not present in the reference; the
+    # reference uses dynamic Python lists, we use fixed-capacity arrays+counts)
+    max_circles_per_variant: int = 64   # top-K circles kept per blur variant
+    max_lines: int = 512                # max Hough line intercepts per direction
+    max_grid_lines: int = 64            # max cluster centres per axis
+    num_angle_bins: int = 64            # gradient-direction bins for circle voting
+    max_center_candidates: int = 128    # accumulator peaks considered per variant
+    hysteresis_iters: int = 24          # Canny hysteresis sweep iterations
+
+    @property
+    def angle_delta(self) -> float:
+        import math
+
+        return math.pi / 180.0 * self.angle_tolerance_deg
+
+    @property
+    def num_blur_variants(self) -> int:
+        # grey, edges, then (median, gaussian) per blur radius (img2sgf.py:171-175)
+        return 2 + 2 * (self.maxblur + 1)
+
+    def replace(self, **kw) -> "DetectionConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def choose_line_threshold(height: int, width: int) -> int:
+    """Auto line-detection threshold from image size.
+
+    Mirrors choose_threshold (img2sgf.py:606-613): t = min_dim/12.8 + 16,
+    clamped to [20, 200].
+    """
+    x = min(height, width)
+    t = int(x / 12.8 + 16)
+    return int(min(max(t, 20), 200))

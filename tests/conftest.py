@@ -1,0 +1,35 @@
+"""Test environment: force an 8-device virtual CPU mesh before jax loads.
+
+Single-chip kernels are validated on CPU for determinism; the multi-chip
+sharding paths run over the 8 virtual devices (the JAX-native analogue of a
+fake multi-node backend). The real-TPU path is exercised by bench.py and the
+driver's dryrun, not by unit tests.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import sys
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_DIR = pathlib.Path("/root/reference")
+TEST_IMAGES = REFERENCE_DIR / "test_images"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def test_images_dir():
+    if not TEST_IMAGES.is_dir():
+        pytest.skip("reference test images not available")
+    return TEST_IMAGES
