@@ -1,0 +1,222 @@
+"""Hough gradient circle detection (cv.HOUGH_GRADIENT semantics).
+
+Reproduces cv.HoughCircles(img, HOUGH_GRADIENT, dp=1, minDist=10,
+param1=100, param2=30, minRadius=1, maxRadius=30) as called at
+img2sgf.py:180 for each of the 10 blur-pyramid variants.
+
+OpenCV's algorithm (hough.cpp, HoughCirclesGradient):
+  1. Sobel gradients + internal Canny(param1/2, param1) edge map.
+  2. Every edge pixel votes along +/- its gradient direction at radii
+     minR..maxR into a centre accumulator.
+  3. Centre candidates: accumulator 4-neighbour local maxima > param2,
+     considered in descending vote order.
+  4. Greedy acceptance with minDist spacing; per-candidate radius estimated
+     from the distance distribution of nearby edge pixels (most-supported
+     radius, normalized by circumference); kept if support > param2.
+
+TPU-native design (static shapes, no scatter):
+  - Gradient directions are quantized into D bins over [0, pi). Voting
+    becomes, per bin, a sum of the bin's edge-pixel plane shifted along the
+    bin direction for every radius — computed with a two-level shift
+    cascade (5 + 6 shifted adds instead of 30 per side). All shift offsets
+    are static; XLA sees pure pad/slice/add chains. Quantization spreads a
+    vote by at most ~r*sin(pi/2D) ~ 1.5 px at D=64, comparable to the
+    integer snapping of OpenCV's own fixed-point walk.
+  - Candidate extraction is top_k over the masked accumulator (vote-order
+    ties break by flat index, matching OpenCV's sort).
+  - Radius estimation gathers a (2*maxR+1)^2 window per candidate and bins
+    edge distances with a static one-hot matmul (MXU), scoring bins by
+    support/radius like OpenCV's run scan.
+  - The greedy minDist pass is a tiny fori_loop over the top-K candidates.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.canny import canny
+from ..ops.common import shift2d
+from ..ops.sobel import sobel3
+
+
+def _cascade_offsets(ux: float, uy: float, min_r: int, max_r: int):
+    """Two-level decomposition of shifts r*u for r in [min_r, max_r].
+
+    Returns (fine, coarse, lead_pos, lead_neg): sum over fine offsets then
+    coarse offsets approximates the radius sweep; lead offsets position the
+    two voting directions. Composition error <= 1 px.
+    """
+    span = max_r - min_r  # inclusive sweep has span+1 radii
+    fine_n = 5
+    coarse_n = (span + 1 + fine_n - 1) // fine_n  # ceil((span+1)/5)
+    fine = [(round(r * uy), round(r * ux)) for r in range(fine_n)]
+    coarse = [(round(fine_n * j * uy), round(fine_n * j * ux)) for j in range(coarse_n)]
+    lead_pos = (round(min_r * uy), round(min_r * ux))
+    lead_neg = (-round((min_r + fine_n * coarse_n - 1) * uy),
+                -round((min_r + fine_n * coarse_n - 1) * ux))
+    return fine, coarse, lead_pos, lead_neg
+
+
+def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int):
+    """Centre-vote accumulator A[H, W] (f32).
+
+    edge_mask: [H, W] bool (Canny edges with nonzero gradient).
+    dx, dy: int32 Sobel gradients.
+    """
+    ang = jnp.arctan2(dy.astype(jnp.float32), dx.astype(jnp.float32))
+    step = math.pi / num_bins
+    bins = jnp.round(ang / step).astype(jnp.int32) % num_bins
+
+    acc = jnp.zeros(edge_mask.shape, jnp.float32)
+    for d in range(num_bins):
+        phi = d * step
+        ux, uy = math.cos(phi), math.sin(phi)
+        e_d = (edge_mask & (bins == d)).astype(jnp.float32)
+        fine, coarse, lead_pos, lead_neg = _cascade_offsets(ux, uy, min_r, max_r)
+        b5 = e_d
+        first = True
+        for (oy, ox) in fine:
+            if first:
+                b5 = shift2d(e_d, oy, ox) if (oy or ox) else e_d
+                first = False
+            else:
+                b5 = b5 + shift2d(e_d, oy, ox)
+        sweep = None
+        for (oy, ox) in coarse:
+            t = shift2d(b5, oy, ox) if (oy or ox) else b5
+            sweep = t if sweep is None else sweep + t
+        # votes at c = p + r*u for both directions: vote image is the sweep
+        # shifted so that radius min_r..max_r lands on the centre
+        acc = acc + shift2d(sweep, *lead_pos) + shift2d(sweep, *lead_neg)
+    return acc
+
+
+def centre_candidates(acc, acc_threshold: float, top_k: int):
+    """Accumulator local maxima > threshold, descending vote order.
+
+    Returns (ys, xs, votes, valid) each [top_k]. Border cells excluded
+    (OpenCV scans y, x in [1, size-2]).
+    """
+    H, W = acc.shape
+    left = shift2d(acc, 0, 1)
+    right = shift2d(acc, 0, -1)
+    up = shift2d(acc, 1, 0)
+    down = shift2d(acc, -1, 0)
+    ys_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    interior = (ys_i >= 1) & (ys_i <= H - 2) & (xs_i >= 1) & (xs_i <= W - 2)
+    is_max = (
+        (acc > acc_threshold)
+        & (acc > left)
+        & (acc >= right)
+        & (acc > up)
+        & (acc >= down)
+        & interior
+    )
+    score = jnp.where(is_max, acc, -1.0).reshape(-1)
+    votes, flat = jax.lax.top_k(score, top_k)
+    valid = votes > 0
+    return flat // W, flat % W, votes, valid
+
+
+@functools.lru_cache(maxsize=8)
+def _radius_tables(min_r: int, max_r: int):
+    """Static distance->bin one-hot over the candidate window."""
+    win = 2 * max_r + 1
+    u = np.arange(win)[:, None] - max_r - 0.5
+    v = np.arange(win)[None, :] - max_r - 0.5
+    d = np.sqrt(u * u + v * v)
+    nb = max_r + 1
+    b = np.clip(np.round(d).astype(np.int64), 0, nb - 1)
+    keep = (d * d >= min_r * min_r) & (d * d <= max_r * max_r)
+    onehot = np.zeros((win * win, nb), np.float32)
+    onehot[np.arange(win * win), b.ravel()] = keep.ravel().astype(np.float32)
+    dist = (d.ravel() * keep.ravel()).astype(np.float32)
+    return onehot, dist, win, nb
+
+
+def estimate_radii(edge_mask, ys, xs, min_r: int, max_r: int,
+                   acc_threshold: float):
+    """Most-supported radius per candidate centre (OpenCV's run scan,
+    approximated with unit-width distance bins scored by support/radius).
+
+    Returns (r_best [K] f32, supported [K] bool).
+    """
+    onehot_np, dist_np, win, nb = _radius_tables(min_r, max_r)
+    onehot = jnp.asarray(onehot_np)
+    dist = jnp.asarray(dist_np)
+    pad = max_r
+    ep = jnp.pad(edge_mask.astype(jnp.float32), ((pad, pad), (pad, pad)))
+
+    def one(y, x):
+        w = jax.lax.dynamic_slice(ep, (y, x), (win, win)).reshape(-1)
+        counts = w @ onehot  # [nb]
+        dsums = (w * dist) @ onehot
+        r_rep = jnp.where(counts > 0, dsums / jnp.maximum(counts, 1.0), 1.0)
+        score = jnp.where(counts > 0, counts / r_rep, -1.0)
+        score = score.at[0].set(-1.0)  # bin 0 excluded (r < 1)
+        # ties favour the smaller radius: OpenCV scans runs from large r to
+        # small and replaces on >=, so the smallest-r max-score run wins;
+        # argmax's first-occurrence rule does the same on ascending bins
+        best = jnp.argmax(score)
+        return r_rep[best], counts[best] > acc_threshold
+
+    r_best, supported = jax.vmap(one)(ys, xs)
+    return r_best, supported
+
+
+def greedy_min_dist(ys, xs, valid, supported, min_dist: float):
+    """Sequential acceptance in vote order with centre spacing >= min_dist.
+
+    Candidates too close to an already-accepted circle are skipped; skipped
+    or unsupported candidates do not block later ones (OpenCV semantics).
+    """
+    K = ys.shape[0]
+    md2 = min_dist * min_dist
+    fy = ys.astype(jnp.float32)
+    fx = xs.astype(jnp.float32)
+
+    def body(i, accepted):
+        d2 = (fy - fy[i]) ** 2 + (fx - fx[i]) ** 2
+        clash = jnp.any(accepted & (jnp.arange(K) < i) & (d2 < md2))
+        ok = valid[i] & supported[i] & jnp.logical_not(clash)
+        return accepted.at[i].set(ok)
+
+    return jax.lax.fori_loop(0, K, body, jnp.zeros((K,), jnp.bool_))
+
+
+def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
+                           min_dist: float, min_r: int, max_r: int,
+                           num_bins: int, top_k: int, max_out: int,
+                           hysteresis_iters: int = 24):
+    """Full HOUGH_GRADIENT on one [H, W] uint8 image.
+
+    Returns (circles [max_out, 3] f32 as (cx, cy, r), valid [max_out] bool).
+    Centres carry OpenCV's +0.5 px offset.
+    """
+    dx, dy = sobel3(img_u8.astype(jnp.int32))
+    edges = canny(img_u8, max(canny_high / 2, 1), canny_high,
+                  iters=hysteresis_iters)
+    emask = (edges > 0) & ((dx != 0) | (dy != 0))
+
+    acc = vote_accumulator(emask, dx, dy, num_bins, min_r, max_r)
+    ys, xs, votes, valid = centre_candidates(acc, acc_threshold, top_k)
+    ys_c = jnp.clip(ys, 0, img_u8.shape[0] - 1)
+    xs_c = jnp.clip(xs, 0, img_u8.shape[1] - 1)
+    r_best, supported = estimate_radii(emask, ys_c, xs_c, min_r, max_r, acc_threshold)
+    accepted = greedy_min_dist(ys_c, xs_c, valid, supported, min_dist)
+
+    # compact accepted circles into the first max_out slots
+    order = jnp.argsort(jnp.logical_not(accepted), stable=True)[:max_out]
+    out_valid = accepted[order]
+    cx = xs_c[order].astype(jnp.float32) + 0.5
+    cy = ys_c[order].astype(jnp.float32) + 0.5
+    rr = r_best[order]
+    circles = jnp.stack([cx, cy, rr], axis=1)
+    circles = jnp.where(out_valid[:, None], circles, 0.0)
+    return circles, out_valid

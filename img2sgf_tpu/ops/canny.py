@@ -1,0 +1,129 @@
+"""Canny edge detection, OpenCV-parity, TPU-friendly.
+
+Reproduces cv.Canny(img, low, high, apertureSize=3, L2gradient=...) as used
+at img2sgf.py:162-165 (on the 3-channel enhanced image) and inside
+HoughCircles (single-channel, thresholds (param1/2, param1)).
+
+Design notes (TPU):
+  - Sobel + magnitude + channel select + sector NMS are pure elementwise /
+    shift ops: XLA fuses them into one VPU pass.
+  - Hysteresis (8-connected flood from strong seeds through weak candidates)
+    is the only iterative part. We alternate segmented row/column fills
+    (associative scans, which resolve arbitrarily long straight runs in one
+    pass) with a 3x3 dilation step (handles diagonal hops). Grid diagrams
+    are dominated by near-straight edges, so convergence is fast; the
+    iteration count is bounded and static (cfg.hysteresis_iters).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .common import dilate8, shift2d
+from .sobel import sobel3
+
+_TG22 = 13573  # tan(22.5 deg) * 2^15, OpenCV's fixed-point constant
+
+
+def _nms(mag, dx, dy, low):
+    """OpenCV sector-based non-maximum suppression.
+
+    Returns candidate mask: mag > low and local max along quantized gradient
+    direction, with OpenCV's exact strict/non-strict neighbour comparisons.
+    Out-of-bounds neighbours read as 0 (OpenCV zero-fills its border rows).
+    """
+    m = mag
+    x = jnp.abs(dx)
+    y = jnp.abs(dy) * (1 << 15)  # fits int32: |dy| <= 1020 -> 33.4M
+    tg22x = x * _TG22
+    tg67x = tg22x + ((x + x) * (1 << 15))
+
+    left = shift2d(m, 0, 1)  # value at (y, x-1)
+    right = shift2d(m, 0, -1)
+    up = shift2d(m, 1, 0)  # value at (y-1, x)
+    down = shift2d(m, -1, 0)
+    up_left = shift2d(m, 1, 1)
+    up_right = shift2d(m, 1, -1)
+    down_left = shift2d(m, -1, 1)
+    down_right = shift2d(m, -1, -1)
+
+    horiz = y < tg22x
+    vert = y > tg67x
+    s_neg = (dx ^ dy) < 0  # gradient in the "anti-diagonal" quadrant
+
+    pass_h = (m > left) & (m >= right)
+    pass_v = (m > up) & (m >= down)
+    # s = -1 when signs differ: neighbours (y-1,x+1) and (y+1,x-1); else
+    # (y-1,x-1) and (y+1,x+1). Both comparisons strict (OpenCV canny.cpp).
+    pass_d_neg = (m > up_right) & (m > down_left)
+    pass_d_pos = (m > up_left) & (m > down_right)
+    pass_d = jnp.where(s_neg, pass_d_neg, pass_d_pos)
+
+    local_max = jnp.where(horiz, pass_h, jnp.where(vert, pass_v, pass_d))
+    return (m > low) & local_max
+
+
+def _seg_fill_axis(edge, cand, axis):
+    """Propagate `edge` through contiguous `cand` runs along one axis.
+
+    Segmented OR-scan: within a run of candidate pixels, if any pixel is an
+    edge, the whole run becomes edge. Runs are broken wherever cand is 0.
+    """
+
+    def combine(a, b):
+        a_act, a_gate = a
+        b_act, b_gate = b
+        return (b_act | (b_gate & a_act), a_gate & b_gate)
+
+    act = edge.astype(jnp.int32)
+    gate = cand.astype(jnp.int32)
+    axis = axis % act.ndim  # associative_scan requires a non-negative axis
+    fwd = jax.lax.associative_scan(combine, (act, gate), axis=axis)[0]
+    bwd = jax.lax.associative_scan(combine, (act, gate), axis=axis, reverse=True)[0]
+    return ((fwd | bwd) & gate).astype(jnp.bool_)
+
+
+def hysteresis(strong, cand, iters: int):
+    """8-connected propagation from strong seeds through candidates."""
+    strong = strong & cand
+
+    def body(_, edge):
+        edge = _seg_fill_axis(edge, cand, axis=-1)
+        edge = _seg_fill_axis(edge, cand, axis=-2)
+        edge = (dilate8(edge) & cand) | edge
+        return edge
+
+    return jax.lax.fori_loop(0, iters, body, strong)
+
+
+def canny(img_u8, low: float, high: float, l2gradient: bool = False, iters: int = 24):
+    """cv.Canny parity on a [H, W] or [H, W, C] uint8 image. Returns uint8
+    {0, 255} edge map."""
+    img = img_u8.astype(jnp.int32)
+    if img.ndim == 3:
+        # per-channel Sobel, then per-pixel pick the channel with max
+        # magnitude (first channel wins ties, like OpenCV's strict >)
+        chans = jnp.moveaxis(img, -1, 0)  # [C, H, W]
+        dx, dy = sobel3(chans)
+        if l2gradient:
+            cmag = dx * dx + dy * dy
+        else:
+            cmag = jnp.abs(dx) + jnp.abs(dy)
+        sel = jnp.argmax(cmag, axis=0)
+        dx = jnp.take_along_axis(dx, sel[None], axis=0)[0]
+        dy = jnp.take_along_axis(dy, sel[None], axis=0)[0]
+        mag = jnp.take_along_axis(cmag, sel[None], axis=0)[0]
+    else:
+        dx, dy = sobel3(img)
+        mag = (dx * dx + dy * dy) if l2gradient else (jnp.abs(dx) + jnp.abs(dy))
+
+    if l2gradient:
+        low_t, high_t = int(low) * int(low), int(high) * int(high)
+    else:
+        low_t, high_t = int(low), int(high)
+
+    cand = _nms(mag, dx, dy, low_t)
+    strong = cand & (mag > high_t)
+    edges = hysteresis(strong, cand, iters)
+    return (edges.astype(jnp.uint8)) * jnp.uint8(255)

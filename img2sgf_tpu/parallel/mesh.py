@@ -1,0 +1,60 @@
+"""Data-parallel scale-out over a TPU mesh.
+
+The reference is a single-process desktop app with zero parallelism
+(SURVEY §2.3); the only parallel axis in this domain is the image batch.
+We shard [B, H, W, 3] batches over a 1-D "data" mesh with shard_map: every
+per-image result is independent, so no collectives are needed beyond
+optional metric reductions — the layout keeps all communication off the
+wire entirely, and multi-chip means a proportionally bigger batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DetectionConfig
+from ..pipeline.detect import detect_board
+
+
+def data_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a [B, ...] batch with B sharded over the mesh axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(batch, sharding)
+
+
+def make_sharded_detector(mesh: Mesh, cfg: DetectionConfig, axis: str = "data"):
+    """Jitted batched detector with inputs/outputs sharded over the batch.
+
+    Images: [B, H, W, 3] uint8, thresholds: [B] — B must divide by the mesh
+    size. Per-image work is embarrassingly parallel: XLA partitions the
+    vmapped program with zero cross-chip collectives.
+    """
+    in_sharding = (NamedSharding(mesh, P(axis)), NamedSharding(mesh, P(axis)))
+
+    @functools.partial(jax.jit, in_shardings=in_sharding)
+    def run(images, thresholds):
+        return jax.vmap(lambda im, t: detect_board(im, cfg, t))(images, thresholds)
+
+    return run
+
+
+def aggregate_metrics(result) -> dict:
+    """Cross-batch summary (the only reduction in the system): detection
+    rate and stone counts. With a sharded batch these reductions are the
+    single psum-like collective the framework ever issues."""
+    return {
+        "boards_ready": jnp.sum(result.board_ready.astype(jnp.int32)),
+        "total_black": jnp.sum(result.num_black),
+        "total_white": jnp.sum(result.num_white),
+    }

@@ -1,0 +1,194 @@
+"""The full detection pipeline: RGB image -> board + diagnostics.
+
+One jittable program reproducing process_image + find_grid + identify_board
+(img2sgf.py:117-204, 546-576, 497-543) minus the GUI: preprocess, grey,
+Canny, blur pyramid, HoughCircles over all variants, circle erasure, Hough
+lines, clustering, grid validation, stone snapping and classification.
+
+detect_board() is pure and static-shaped: batch it with jax.vmap, shard it
+with shard_map over a data mesh (see img2sgf_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DetectionConfig
+from ..core.board import align_board_jnp
+from ..grid.cluster import cluster_1d
+from ..grid.complete import validate_grid
+from ..grid.identify import identify_board
+from ..hough.circles import hough_circles_gradient
+from ..hough.erase import erase_circles
+from ..hough.lines import hough_lines_intercepts
+from ..ops.blur import blur_pyramid
+from ..ops.canny import canny
+from ..ops.color import grey_bgr_quirk, preprocess
+
+
+@dataclasses.dataclass
+class BoardResult:
+    """Pipeline output pytree (all fixed-shape device arrays)."""
+
+    board_ready: Any  # bool: grid valid and fits the board
+    valid_grid: Any  # bool
+    full_board: Any  # [19,19] int32 BoardStates (LEFT/TOP aligned)
+    detected_board: Any  # [19,19] int32, top-left hsize x vsize block
+    hsize: Any
+    vsize: Any
+    side_to_move: Any  # 1 black / 2 white
+    num_black: Any
+    num_white: Any
+    # diagnostics (mirror the reference's log/plot data)
+    circles: Any  # [C,3] all raw circles from every variant
+    circles_valid: Any
+    circles_filtered_valid: Any  # after the size filter (img2sgf.py:439-443)
+    hlines: Any  # [L] y-intercepts of detected horizontal lines
+    hlines_valid: Any
+    vlines: Any
+    vlines_valid: Any
+    hcentres: Any  # [M] cluster centres (+inf padded)
+    hcount: Any
+    vcentres: Any
+    vcount: Any
+    hcentres_complete: Any
+    vcentres_complete: Any
+    hspace: Any
+    vspace: Any
+    hreason: Any  # grid rejection reason codes (grid.complete)
+    vreason: Any
+    intensities: Any  # [19,19] mean window intensity per grid point
+    stone_mask: Any  # [19,19] bool
+    grey: Any  # [H,W] uint8 processed grey image
+    edges: Any  # [H,W] uint8 Canny edges
+    circles_removed: Any  # [H,W] uint8 edge map after erasure
+
+
+jax.tree_util.register_dataclass(
+    BoardResult, data_fields=[f.name for f in dataclasses.fields(BoardResult)],
+    meta_fields=[],
+)
+
+
+def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold) -> BoardResult:
+    """rgb_u8: [H, W, 3] uint8. line_threshold: scalar (traced ok).
+
+    Returns BoardResult. Jit with cfg static:
+        jax.jit(detect_board, static_argnums=1)
+    """
+    # --- preprocess (img2sgf.py:142-153)
+    rgb = preprocess(rgb_u8, cfg.contrast, cfg.brightness)
+    grey = grey_bgr_quirk(rgb)
+    edges = canny(rgb, cfg.edge_min, cfg.edge_max, cfg.gradient_l2,
+                  iters=cfg.hysteresis_iters)
+
+    # --- circles over the blur pyramid (img2sgf.py:169-186)
+    variants = blur_pyramid(grey, edges, cfg.maxblur)
+
+    def per_variant(img):
+        return hough_circles_gradient(
+            img,
+            canny_high=cfg.circle_canny_high,
+            acc_threshold=cfg.circle_acc_threshold,
+            min_dist=cfg.circle_min_dist,
+            min_r=cfg.circle_min_radius,
+            max_r=cfg.circle_max_radius,
+            num_bins=cfg.num_angle_bins,
+            top_k=cfg.max_center_candidates,
+            max_out=cfg.max_circles_per_variant,
+            hysteresis_iters=cfg.hysteresis_iters,
+        )
+
+    vcircles, vvalid = jax.vmap(per_variant)(variants)
+    circles = vcircles.reshape(-1, 3)
+    circles_valid = vvalid.reshape(-1)
+
+    # --- erase circles from the edge map (img2sgf.py:188-198)
+    removed = erase_circles(edges, circles, circles_valid)
+
+    # --- lines + clustering (img2sgf.py:230-332)
+    hvals, hvalid, _ = hough_lines_intercepts(
+        removed, line_threshold, True, cfg.angle_delta, cfg.max_lines
+    )
+    vvals, vlvalid, _ = hough_lines_intercepts(
+        removed, line_threshold, False, cfg.angle_delta, cfg.max_lines
+    )
+    hcentres, hcount = cluster_1d(hvals, hvalid, cfg.min_grid_spacing, cfg.max_grid_lines)
+    vcentres, vcount = cluster_1d(vvals, vlvalid, cfg.min_grid_spacing, cfg.max_grid_lines)
+
+    # --- grid validation (img2sgf.py:420-445)
+    grid = validate_grid(
+        hcentres, hcount, vcentres, vcount,
+        cfg.board_size, cfg.min_grid_spacing, cfg.big_space_ratio,
+    )
+    valid = grid["valid"]
+
+    # circle size filter (img2sgf.py:439-443), strict inequalities
+    min_cs = jnp.minimum(grid["hspace"], grid["vspace"]) * 0.3
+    max_cs = jnp.maximum(grid["hspace"], grid["vspace"]) * 0.65
+    cf_valid = circles_valid & (circles[:, 2] > min_cs) & (circles[:, 2] < max_cs)
+    cf_valid = cf_valid & valid
+
+    # size gate (img2sgf.py:568-571)
+    fits = valid & (grid["hsize"] <= cfg.board_size) & (grid["vsize"] <= cfg.board_size)
+
+    ident = identify_board(
+        grey, circles, cf_valid, grid, cfg.black_stone_threshold, cfg.board_size
+    )
+    detected = jnp.where(fits, ident["detected_board"], 0)
+    full = align_board_jnp(
+        detected, grid["hsize"], grid["vsize"],
+        jnp.bool_(False), jnp.bool_(False), cfg.board_size,
+    )
+
+    return BoardResult(
+        board_ready=fits,
+        valid_grid=valid,
+        full_board=full,
+        detected_board=detected,
+        hsize=grid["hsize"],
+        vsize=grid["vsize"],
+        side_to_move=jnp.where(fits, ident["side_to_move"], 1),
+        num_black=jnp.where(fits, ident["num_black"], 0),
+        num_white=jnp.where(fits, ident["num_white"], 0),
+        circles=circles,
+        circles_valid=circles_valid,
+        circles_filtered_valid=cf_valid,
+        hlines=hvals,
+        hlines_valid=hvalid,
+        vlines=vvals,
+        vlines_valid=vlvalid,
+        hcentres=hcentres,
+        hcount=hcount,
+        vcentres=vcentres,
+        vcount=vcount,
+        hcentres_complete=grid["hcentres_complete"],
+        vcentres_complete=grid["vcentres_complete"],
+        hspace=grid["hspace"],
+        vspace=grid["vspace"],
+        hreason=grid["hreason"],
+        vreason=grid["vreason"],
+        intensities=ident["intensities"],
+        stone_mask=ident["stone_mask"],
+        grey=grey,
+        edges=edges,
+        circles_removed=removed,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def detect_board_jit(rgb_u8, cfg: DetectionConfig, line_threshold):
+    return detect_board(rgb_u8, cfg, line_threshold)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def detect_board_batch(rgb_u8_batch, cfg: DetectionConfig, line_thresholds):
+    """vmapped pipeline over a [B, H, W, 3] batch."""
+    return jax.vmap(lambda im, t: detect_board(im, cfg, t))(
+        rgb_u8_batch, line_thresholds
+    )

@@ -1,0 +1,94 @@
+"""Op-level parity tests vs PIL / OpenCV on real fixture images.
+
+These quantify how close each TPU op is to the library call it replaces.
+Preprocess and greyscale must be bit-exact; blurs and Canny are allowed a
+tiny mismatch budget (documented per-op) since downstream detection is
+judged at board level against tests/golden/.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image, ImageEnhance
+
+import jax.numpy as jnp
+
+from img2sgf_tpu.ops import (
+    canny,
+    gaussian_blur,
+    grey_bgr_quirk,
+    median_blur,
+    preprocess,
+)
+
+cv = pytest.importorskip("cv2")
+
+FIXTURES = "/root/reference/test_images"
+
+
+@pytest.fixture(scope="module")
+def ex1_rgb():
+    # fixed-size crop keeps XLA compile times bounded across the suite
+    return np.array(Image.open(f"{FIXTURES}/ex1.jpg").convert("RGB"))[100:484, 150:534]
+
+
+@pytest.fixture(scope="module")
+def ex7_rgb():
+    # colour photo-realistic fixture (335x371 native)
+    return np.array(Image.open(f"{FIXTURES}/ex7.jpg").convert("RGB"))
+
+
+def _pil_preprocess(rgb, contrast=70, brightness=50):
+    img = Image.fromarray(rgb)
+    img = ImageEnhance.Contrast(img).enhance(102.0 / (101.0 - contrast) - 1.0)
+    img = ImageEnhance.Brightness(img).enhance(450.0 / (200.0 - brightness) - 2.0)
+    return np.array(img)
+
+
+@pytest.mark.parametrize("contrast,brightness", [(70, 50), (50, 50), (90, 30), (0, 100 - 1)])
+def test_preprocess_bit_exact(ex7_rgb, contrast, brightness):
+    want = _pil_preprocess(ex7_rgb, contrast, brightness)
+    got = np.asarray(preprocess(jnp.asarray(ex7_rgb), contrast, brightness))
+    mismatch = (want != got).mean()
+    assert mismatch == 0.0, f"preprocess mismatch rate {mismatch}"
+
+
+def test_grey_bgr_quirk_bit_exact(ex7_rgb):
+    pre = _pil_preprocess(ex7_rgb)
+    want = cv.cvtColor(pre, cv.COLOR_BGR2GRAY)
+    got = np.asarray(grey_bgr_quirk(jnp.asarray(pre)))
+    assert (want != got).mean() == 0.0
+
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_median_blur_exact(ex1_rgb, k):
+    grey = cv.cvtColor(_pil_preprocess(ex1_rgb), cv.COLOR_BGR2GRAY)
+    want = cv.medianBlur(grey, k)
+    got = np.asarray(median_blur(jnp.asarray(grey), k))
+    # interior must be exact; OpenCV's border handling may differ on the
+    # outermost r rows/cols
+    r = k // 2
+    assert (want[r:-r, r:-r] != got[r:-r, r:-r]).mean() == 0.0
+
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_gaussian_blur_bit_exact(ex1_rgb, k):
+    grey = cv.cvtColor(_pil_preprocess(ex1_rgb), cv.COLOR_BGR2GRAY)
+    want = cv.GaussianBlur(grey, (k, k), k)
+    got = np.asarray(gaussian_blur(jnp.asarray(grey), k, float(k)))
+    assert (want != got).mean() == 0.0
+
+
+def test_canny_rgb_parity(ex1_rgb):
+    pre = _pil_preprocess(ex1_rgb)
+    want = cv.Canny(pre, 50, 200, apertureSize=3, L2gradient=False)
+    got = np.asarray(canny(jnp.asarray(pre), 50, 200))
+    mismatch = (want != got).mean()
+    assert mismatch < 0.002, f"canny mismatch rate {mismatch}"
+
+
+def test_canny_grey_parity(ex7_rgb):
+    grey = cv.cvtColor(_pil_preprocess(ex7_rgb), cv.COLOR_BGR2GRAY)
+    want = cv.Canny(grey, 50, 100, apertureSize=3, L2gradient=False)
+    got = np.asarray(canny(jnp.asarray(grey), 50, 100))
+    mismatch = (want != got).mean()
+    assert mismatch < 0.002, f"canny mismatch rate {mismatch}"
