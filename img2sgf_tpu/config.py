@@ -59,11 +59,11 @@ class DetectionConfig:
 
     # --- TPU static-shape capacity knobs (not present in the reference; the
     # reference uses dynamic Python lists, we use fixed-capacity arrays+counts)
-    max_circles_per_variant: int = 64   # top-K circles kept per blur variant
+    max_circles_per_variant: int = 192  # top-K circles kept per blur variant
     max_lines: int = 512                # max Hough line intercepts per direction
     max_grid_lines: int = 64            # max cluster centres per axis
     num_angle_bins: int = 64            # gradient-direction bins for circle voting
-    max_center_candidates: int = 128    # accumulator peaks considered per variant
+    max_center_candidates: int = 512    # accumulator peaks considered per variant
     hysteresis_iters: int = 24          # Canny hysteresis sweep iterations
 
     @property

@@ -44,22 +44,23 @@ from ..ops.common import shift2d
 from ..ops.sobel import sobel3
 
 
-def _cascade_offsets(ux: float, uy: float, min_r: int, max_r: int):
-    """Two-level decomposition of shifts r*u for r in [min_r, max_r].
+def _walk_offsets(ux: float, uy: float, min_r: int, max_r: int):
+    """Exact OpenCV vote-walk offsets for direction (ux, uy), both ways.
 
-    Returns (fine, coarse, lead_pos, lead_neg): sum over fine offsets then
-    coarse offsets approximates the radius sweep; lead offsets position the
-    two voting directions. Composition error <= 1 px.
+    OpenCV steps x1 = x0*1024 + r*sx with sx = round(1024*ux) and lands on
+    cell x1 >> 10 (arithmetic shift = floor). Offsets therefore are
+    floor(r*sx/1024) for the + direction and floor(-r*sx/1024) for the -
+    direction (not the negation!). Duplicate cells get multiple votes, so
+    we return (dy, dx) -> weight.
     """
-    span = max_r - min_r  # inclusive sweep has span+1 radii
-    fine_n = 5
-    coarse_n = (span + 1 + fine_n - 1) // fine_n  # ceil((span+1)/5)
-    fine = [(round(r * uy), round(r * ux)) for r in range(fine_n)]
-    coarse = [(round(fine_n * j * uy), round(fine_n * j * ux)) for j in range(coarse_n)]
-    lead_pos = (round(min_r * uy), round(min_r * ux))
-    lead_neg = (-round((min_r + fine_n * coarse_n - 1) * uy),
-                -round((min_r + fine_n * coarse_n - 1) * ux))
-    return fine, coarse, lead_pos, lead_neg
+    sx = round(1024 * ux)
+    sy = round(1024 * uy)
+    weights: dict[tuple[int, int], int] = {}
+    for sign in (1, -1):
+        for r in range(min_r, max_r + 1):
+            o = (math.floor(sign * r * sy / 1024), math.floor(sign * r * sx / 1024))
+            weights[o] = weights.get(o, 0) + 1
+    return weights
 
 
 def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int):
@@ -75,24 +76,13 @@ def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int):
     acc = jnp.zeros(edge_mask.shape, jnp.float32)
     for d in range(num_bins):
         phi = d * step
-        ux, uy = math.cos(phi), math.sin(phi)
         e_d = (edge_mask & (bins == d)).astype(jnp.float32)
-        fine, coarse, lead_pos, lead_neg = _cascade_offsets(ux, uy, min_r, max_r)
-        b5 = e_d
-        first = True
-        for (oy, ox) in fine:
-            if first:
-                b5 = shift2d(e_d, oy, ox) if (oy or ox) else e_d
-                first = False
-            else:
-                b5 = b5 + shift2d(e_d, oy, ox)
-        sweep = None
-        for (oy, ox) in coarse:
-            t = shift2d(b5, oy, ox) if (oy or ox) else b5
-            sweep = t if sweep is None else sweep + t
-        # votes at c = p + r*u for both directions: vote image is the sweep
-        # shifted so that radius min_r..max_r lands on the centre
-        acc = acc + shift2d(sweep, *lead_pos) + shift2d(sweep, *lead_neg)
+        contrib = None
+        for (oy, ox), w in _walk_offsets(math.cos(phi), math.sin(phi), min_r, max_r).items():
+            t = shift2d(e_d, oy, ox) if (oy or ox) else e_d
+            t = t * float(w) if w != 1 else t
+            contrib = t if contrib is None else contrib + t
+        acc = acc + contrib
     return acc
 
 
