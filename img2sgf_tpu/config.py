@@ -63,7 +63,7 @@ class DetectionConfig:
     max_lines: int = 512                # max Hough line intercepts per direction
     max_grid_lines: int = 64            # max cluster centres per axis
     num_angle_bins: int = 64            # gradient-direction bins for circle voting
-    max_center_candidates: int = 512    # accumulator peaks considered per variant
+    max_center_candidates: int = 1024    # accumulator peaks considered per variant
     hysteresis_iters: int = 24          # Canny hysteresis sweep iterations
 
     @property

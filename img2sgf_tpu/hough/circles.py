@@ -114,19 +114,97 @@ def centre_candidates(acc, acc_threshold: float, top_k: int):
     return flat // W, flat % W, votes, valid
 
 
+def pixel_steps(dx, dy):
+    """Per-pixel fixed-point walk steps, exactly OpenCV: sx =
+    cvRound(1024*dx/mag) with mag = sqrt(dx^2+dy^2) in float32."""
+    fx = dx.astype(jnp.float32)
+    fy = dy.astype(jnp.float32)
+    mag = jnp.sqrt(fx * fx + fy * fy)
+    safe = jnp.maximum(mag, 1e-20)
+    sx = jnp.rint(1024.0 * fx / safe).astype(jnp.int32)
+    sy = jnp.rint(1024.0 * fy / safe).astype(jnp.int32)
+    return sx, sy
+
+
+def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
+                  cells: int = 3):
+    """Exact OpenCV accumulator votes on a (cells x cells) patch around each
+    candidate centre.
+
+    A window pixel p votes for cell c iff for some radius r and sign s,
+    floor(r*s*sx_p/1024) == c_x - p_x (same for y) — evaluated with integer
+    arithmetic shifts, bit-identical to the reference walk. Returns
+    scores [K, cells, cells] f32.
+    """
+    win = 2 * max_r + 1
+    pad = max_r + cells // 2
+    ep = jnp.pad(edge_mask.astype(jnp.int32), pad)
+    sxp = jnp.pad(sx, pad)
+    syp = jnp.pad(sy, pad)
+    half = cells // 2
+
+    # static per-window-pixel offsets to the candidate cell (p = c + (u-maxR))
+    u = jnp.broadcast_to(jnp.arange(win)[:, None] - max_r, (win, win))
+    v = jnp.broadcast_to(jnp.arange(win)[None, :] - max_r, (win, win))
+    base_oy = (-u).reshape(-1)  # [win*win]
+    base_ox = (-v).reshape(-1)
+
+    n_codes = cells * cells
+    # signed radius steps: +minR..+maxR then -minR..-maxR
+    steps = jnp.asarray(
+        [r for r in range(min_r, max_r + 1)]
+        + [-r for r in range(min_r, max_r + 1)],
+        jnp.int32,
+    )
+
+    def windows(y, x):
+        # padded index (y + half) puts the window at unpadded rows y - max_r
+        e = jax.lax.dynamic_slice(ep, (y + half, x + half), (win, win)).reshape(-1)
+        wx = jax.lax.dynamic_slice(sxp, (y + half, x + half), (win, win)).reshape(-1)
+        wy = jax.lax.dynamic_slice(syp, (y + half, x + half), (win, win)).reshape(-1)
+        return e.astype(jnp.float32), wx, wy
+
+    e, wx, wy = jax.vmap(windows)(ys, xs)  # [K, W2] each
+
+    def body(k, score):
+        rs = steps[k]
+        # vote displacement of this walk step relative to the candidate's
+        # centre cell, for every window pixel (arithmetic shift = OpenCV)
+        ddx = jnp.right_shift(rs * wx, 10) - base_ox[None, :]
+        ddy = jnp.right_shift(rs * wy, 10) - base_oy[None, :]
+        ok = (jnp.abs(ddx) <= half) & (jnp.abs(ddy) <= half)
+        code = jnp.where(ok, (ddy + half) * cells + (ddx + half), n_codes)
+        onehot = (code[:, :, None] == jnp.arange(n_codes)[None, None, :]).astype(jnp.float32)
+        return score + jnp.einsum("kw,kwc->kc", e, onehot)
+
+    score = jax.lax.fori_loop(
+        0, steps.shape[0], body, jnp.zeros((ys.shape[0], n_codes), jnp.float32)
+    )
+    return score.reshape(ys.shape[0], cells, cells)
+
+
 @functools.lru_cache(maxsize=8)
 def _radius_tables(min_r: int, max_r: int):
-    """Static distance->bin one-hot over the candidate window."""
+    """Static distance->band one-hot over the candidate window.
+
+    Bands are width-1 with centres every 0.5 px (two interleaved binnings),
+    approximating OpenCV's data-aligned distance runs: a ring spread over
+    e.g. [6.9, 7.9] lands fully in the 7.5-centred band instead of being
+    split between integer bins.
+    """
     win = 2 * max_r + 1
     u = np.arange(win)[:, None] - max_r - 0.5
     v = np.arange(win)[None, :] - max_r - 0.5
     d = np.sqrt(u * u + v * v)
-    nb = max_r + 1
-    b = np.clip(np.round(d).astype(np.int64), 0, nb - 1)
     keep = (d * d >= min_r * min_r) & (d * d <= max_r * max_r)
+    centres = np.arange(2 * min_r, 2 * max_r + 1) * 0.5  # minR, minR+.5, ...
+    nb = len(centres)
     onehot = np.zeros((win * win, nb), np.float32)
-    onehot[np.arange(win * win), b.ravel()] = keep.ravel().astype(np.float32)
-    dist = (d.ravel() * keep.ravel()).astype(np.float32)
+    df = d.ravel()
+    kf = keep.ravel()
+    for b, c in enumerate(centres):
+        onehot[:, b] = ((df >= c - 0.5) & (df < c + 0.5) & kf).astype(np.float32)
+    dist = (df * kf).astype(np.float32)
     return onehot, dist, win, nb
 
 
@@ -149,10 +227,9 @@ def estimate_radii(edge_mask, ys, xs, min_r: int, max_r: int,
         dsums = (w * dist) @ onehot
         r_rep = jnp.where(counts > 0, dsums / jnp.maximum(counts, 1.0), 1.0)
         score = jnp.where(counts > 0, counts / r_rep, -1.0)
-        score = score.at[0].set(-1.0)  # bin 0 excluded (r < 1)
         # ties favour the smaller radius: OpenCV scans runs from large r to
         # small and replaces on >=, so the smallest-r max-score run wins;
-        # argmax's first-occurrence rule does the same on ascending bins
+        # argmax's first-occurrence rule does the same on ascending bands
         best = jnp.argmax(score)
         return r_rep[best], counts[best] > acc_threshold
 
@@ -189,15 +266,54 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
     Returns (circles [max_out, 3] f32 as (cx, cy, r), valid [max_out] bool).
     Centres carry OpenCV's +0.5 px offset.
     """
+    H, W = img_u8.shape
     dx, dy = sobel3(img_u8.astype(jnp.int32))
     edges = canny(img_u8, max(canny_high / 2, 1), canny_high,
                   iters=hysteresis_iters)
     emask = (edges > 0) & ((dx != 0) | (dy != 0))
 
+    # stage 1: approximate accumulator (direction-binned) proposes peaks.
+    # A lower threshold compensates for quantization spreading votes off
+    # the true peak cell; stage 2 restores exact OpenCV vote counts.
     acc = vote_accumulator(emask, dx, dy, num_bins, min_r, max_r)
-    ys, xs, votes, valid = centre_candidates(acc, acc_threshold, top_k)
-    ys_c = jnp.clip(ys, 0, img_u8.shape[0] - 1)
-    xs_c = jnp.clip(xs, 0, img_u8.shape[1] - 1)
+    ys, xs, votes, valid = centre_candidates(acc, 0.6 * acc_threshold, top_k)
+    ys_c = jnp.clip(ys, 0, H - 1)
+    xs_c = jnp.clip(xs, 0, W - 1)
+
+    # stage 2: exact per-pixel fixed-point walk votes on a 3x3 patch around
+    # each proposal; recentre on the patch argmax and threshold exactly.
+    sx, sy = pixel_steps(dx, dy)
+    sx = jnp.where(emask, sx, 0)
+    sy = jnp.where(emask, sy, 0)
+    patch = exact_rescore(emask, sx, sy, ys_c, xs_c, min_r, max_r, cells=3)
+    flat = patch.reshape(patch.shape[0], -1)
+    best_cell = jnp.argmax(flat, axis=1)
+    exact_votes = jnp.take_along_axis(flat, best_cell[:, None], axis=1)[:, 0]
+    py, px = best_cell // 3, best_cell % 3
+
+    # OpenCV's NMS pattern on the exact votes, where the patch shows the
+    # neighbour: > left, >= right, > up, >= down (out-of-patch passes)
+    def nbr(dy_, dx_, fallback):
+        yy, xx = py + dy_, px + dx_
+        inside = (yy >= 0) & (yy < 3) & (xx >= 0) & (xx < 3)
+        idx = jnp.clip(yy, 0, 2) * 3 + jnp.clip(xx, 0, 2)
+        v = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+        return jnp.where(inside, v, fallback)
+
+    nms_ok = (
+        (exact_votes > nbr(0, -1, -1.0))
+        & (exact_votes >= nbr(0, 1, -1.0))
+        & (exact_votes > nbr(-1, 0, -1.0))
+        & (exact_votes >= nbr(1, 0, -1.0))
+    )
+    ys_c = jnp.clip(ys_c + py - 1, 0, H - 1)
+    xs_c = jnp.clip(xs_c + px - 1, 0, W - 1)
+    valid = valid & (exact_votes > acc_threshold) & nms_ok
+
+    # dedup recentred duplicates and order by exact votes (desc, ties by
+    # y-major flat index like OpenCV's sort), then greedy minDist
+    order = jnp.lexsort((ys_c * W + xs_c, -exact_votes.astype(jnp.int32)))
+    ys_c, xs_c, valid = ys_c[order], xs_c[order], valid[order]
     r_best, supported = estimate_radii(emask, ys_c, xs_c, min_r, max_r, acc_threshold)
     accepted = greedy_min_dist(ys_c, xs_c, valid, supported, min_dist)
 

@@ -82,13 +82,16 @@ def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold) -> BoardResult:
         jax.jit(detect_board, static_argnums=1)
     """
     # --- preprocess (img2sgf.py:142-153)
-    rgb = preprocess(rgb_u8, cfg.contrast, cfg.brightness)
-    grey = grey_bgr_quirk(rgb)
-    edges = canny(rgb, cfg.edge_min, cfg.edge_max, cfg.gradient_l2,
-                  iters=cfg.hysteresis_iters)
+    with jax.named_scope("preprocess"):
+        rgb = preprocess(rgb_u8, cfg.contrast, cfg.brightness)
+        grey = grey_bgr_quirk(rgb)
+    with jax.named_scope("canny"):
+        edges = canny(rgb, cfg.edge_min, cfg.edge_max, cfg.gradient_l2,
+                      iters=cfg.hysteresis_iters)
 
     # --- circles over the blur pyramid (img2sgf.py:169-186)
-    variants = blur_pyramid(grey, edges, cfg.maxblur)
+    with jax.named_scope("blur_pyramid"):
+        variants = blur_pyramid(grey, edges, cfg.maxblur)
 
     def per_variant(img):
         return hough_circles_gradient(
@@ -104,22 +107,26 @@ def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold) -> BoardResult:
             hysteresis_iters=cfg.hysteresis_iters,
         )
 
-    vcircles, vvalid = jax.vmap(per_variant)(variants)
+    with jax.named_scope("hough_circles"):
+        vcircles, vvalid = jax.vmap(per_variant)(variants)
     circles = vcircles.reshape(-1, 3)
     circles_valid = vvalid.reshape(-1)
 
     # --- erase circles from the edge map (img2sgf.py:188-198)
-    removed = erase_circles(edges, circles, circles_valid)
+    with jax.named_scope("erase_circles"):
+        removed = erase_circles(edges, circles, circles_valid)
 
     # --- lines + clustering (img2sgf.py:230-332)
-    hvals, hvalid, _ = hough_lines_intercepts(
-        removed, line_threshold, True, cfg.angle_delta, cfg.max_lines
-    )
-    vvals, vlvalid, _ = hough_lines_intercepts(
-        removed, line_threshold, False, cfg.angle_delta, cfg.max_lines
-    )
-    hcentres, hcount = cluster_1d(hvals, hvalid, cfg.min_grid_spacing, cfg.max_grid_lines)
-    vcentres, vcount = cluster_1d(vvals, vlvalid, cfg.min_grid_spacing, cfg.max_grid_lines)
+    with jax.named_scope("hough_lines"):
+        hvals, hvalid, _ = hough_lines_intercepts(
+            removed, line_threshold, True, cfg.angle_delta, cfg.max_lines
+        )
+        vvals, vlvalid, _ = hough_lines_intercepts(
+            removed, line_threshold, False, cfg.angle_delta, cfg.max_lines
+        )
+    with jax.named_scope("cluster"):
+        hcentres, hcount = cluster_1d(hvals, hvalid, cfg.min_grid_spacing, cfg.max_grid_lines)
+        vcentres, vcount = cluster_1d(vvals, vlvalid, cfg.min_grid_spacing, cfg.max_grid_lines)
 
     # --- grid validation (img2sgf.py:420-445)
     grid = validate_grid(

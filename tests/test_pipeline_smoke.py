@@ -1,0 +1,83 @@
+"""Always-on pipeline smoke tests at tiny sizes (CPU-friendly compiles).
+
+Full-fixture board parity runs on TPU via tools/parity_report.py; here we
+verify the jitted program end-to-end on a synthetic grid: detection,
+classification, SGF round trip, and batch/vmap consistency.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from img2sgf_tpu.config import DetectionConfig
+from img2sgf_tpu.core import to_sgf
+from img2sgf_tpu.pipeline import detect_board_batch, detect_board_jit
+
+TINY = DetectionConfig(
+    max_center_candidates=64,
+    max_circles_per_variant=32,
+    max_lines=256,
+    hysteresis_iters=8,
+)
+
+
+def synth_board(size=160, n=9, stones=((2, 3, 0), (4, 4, 255), (6, 2, 0))):
+    """Anti-aliased synthetic diagram (no cv2 dependency)."""
+    img = np.full((size, size), 250, np.float32)
+    lo, hi = 14, size - 14
+    coords = np.linspace(lo, hi, n)
+    for c in coords:
+        ci = int(round(c))
+        img[ci, int(lo) : int(hi) + 1] = 10
+        img[int(lo) : int(hi) + 1, ci] = 10
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    r = (coords[1] - coords[0]) * 0.42
+    for i, j, colour in stones:
+        cx, cy = coords[i], coords[j]
+        d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+        inside = np.clip(r + 0.5 - d, 0, 1)  # soft edge
+        img = img * (1 - inside) + colour * inside
+        ring = np.clip(0.8 - np.abs(d - r), 0, 1)
+        img = img * (1 - ring) + 10 * ring
+    return np.repeat(img.astype(np.uint8)[:, :, None], 3, axis=2)
+
+
+@pytest.fixture(scope="module")
+def result():
+    rgb = synth_board()
+    return detect_board_jit(jnp.asarray(rgb), TINY, 28.0)
+
+
+def test_grid_found(result):
+    assert bool(result.valid_grid)
+    assert int(result.hsize) == 9 and int(result.vsize) == 9
+    assert bool(result.board_ready)
+
+
+def test_stones_classified(result):
+    b = np.asarray(result.detected_board)
+    assert b[2, 3] == 1  # black
+    assert b[4, 4] == 2  # white
+    assert b[6, 2] == 1
+    assert (b != 0).sum() == 3
+
+
+def test_sgf_roundtrip(result):
+    sgf = to_sgf(np.asarray(result.full_board), int(result.side_to_move))
+    assert sgf.startswith("(;GM[1]FF[4]SZ[19]")
+    assert "AB" in sgf and "AW" in sgf
+
+
+def test_batch_matches_single(result):
+    rgb = synth_board()
+    batch = jnp.asarray(np.stack([rgb, rgb]))
+    thr = jnp.asarray([28.0, 28.0])
+    bres = detect_board_batch(batch, TINY, thr)
+    np.testing.assert_array_equal(
+        np.asarray(bres.full_board[0]), np.asarray(result.full_board)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bres.full_board[0]), np.asarray(bres.full_board[1])
+    )
