@@ -69,20 +69,44 @@ def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int):
     edge_mask: [H, W] bool (Canny edges with nonzero gradient).
     dx, dy: int32 Sobel gradients.
     """
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu and edge_mask.ndim == 2 and edge_mask.size <= 600_000:
+        from .vote_pallas import vote_accumulator_pallas
+
+        return vote_accumulator_pallas(edge_mask, dx, dy, num_bins, min_r, max_r)
+
     ang = jnp.arctan2(dy.astype(jnp.float32), dx.astype(jnp.float32))
     step = math.pi / num_bins
     bins = jnp.round(ang / step).astype(jnp.int32) % num_bins
 
-    acc = jnp.zeros(edge_mask.shape, jnp.float32)
+    # Per bin: one fused kernel of static shifted adds (XLA fuses the
+    # unrolled slice chain into a single pass over the bin's edge plane).
+    # The optimization barrier each iteration re-issues ALL loop inputs, so
+    # bin d+1's edge-plane extraction depends on bin d's accumulate — this
+    # serialises the schedule and bounds liveness to ~1 plane. Without it
+    # the scheduler hoists all 64 bin planes for ILP and OOMs HBM at batch
+    # scale; a fori_loop instead would kill fusion (3840 unfused passes).
+    H, W = edge_mask.shape
+    pad = max_r
+    # pad once; per-bin planes are then pure compare+slice+add chains
+    packed = jnp.where(edge_mask, bins, num_bins).astype(jnp.int32)
+    packed = jnp.pad(packed, pad, constant_values=num_bins)
+
+    acc = jnp.zeros((H, W), jnp.float32)
     for d in range(num_bins):
         phi = d * step
-        e_d = (edge_mask & (bins == d)).astype(jnp.float32)
+        e_d = (packed == d).astype(jnp.float32)
         contrib = None
         for (oy, ox), w in _walk_offsets(math.cos(phi), math.sin(phi), min_r, max_r).items():
-            t = shift2d(e_d, oy, ox) if (oy or ox) else e_d
+            t = jax.lax.slice(
+                e_d, (pad - oy, pad - ox), (pad - oy + H, pad - ox + W)
+            )
             t = t * float(w) if w != 1 else t
             contrib = t if contrib is None else contrib + t
-        acc = acc + contrib
+        acc, packed = jax.lax.optimization_barrier((acc + contrib, packed))
     return acc
 
 
@@ -136,65 +160,143 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
     arithmetic shifts, bit-identical to the reference walk. Returns
     scores [K, cells, cells] f32.
     """
-    win = 2 * max_r + 1
-    pad = max_r + cells // 2
-    ep = jnp.pad(edge_mask.astype(jnp.int32), pad)
-    sxp = jnp.pad(sx, pad)
-    syp = jnp.pad(sy, pad)
+    assert cells == 3, "rescore patch is specialised to 3x3"
+    # pixels up to max_r + ~2.5 away can still land in the 3x3 patch
+    # (floor bias + patch extent), so the gather window is padded by 3
+    ext = max_r + 3
+    win = 2 * ext + 1
+    pad = ext + cells // 2
+    # pack (edge, sx+1024, sy+1024) into one int32 plane: windows are
+    # gathered once instead of three times (gathers dominate this stage)
+    packed = (
+        edge_mask.astype(jnp.int32)
+        | ((sx + 1024) << 1)   # 12-bit field: sx+1024 in [0, 2048]
+        | ((sy + 1024) << 13)
+    )
+    pk = jnp.pad(packed, pad)
     half = cells // 2
 
-    # static per-window-pixel offsets to the candidate cell (p = c + (u-maxR))
-    u = jnp.broadcast_to(jnp.arange(win)[:, None] - max_r, (win, win))
-    v = jnp.broadcast_to(jnp.arange(win)[None, :] - max_r, (win, win))
-    base_oy = (-u).reshape(-1)  # [win*win]
-    base_ox = (-v).reshape(-1)
+    # static per-window-pixel offsets to the candidate cell (p = c + (u-ext))
+    uu = np.broadcast_to(np.arange(win)[:, None] - ext, (win, win))
+    vv = np.broadcast_to(np.arange(win)[None, :] - ext, (win, win))
+    base_oy_np = (-uu).reshape(-1)  # [win*win]
+    base_ox_np = (-vv).reshape(-1)
+    base_oy = jnp.asarray(base_oy_np, jnp.int32)
+    base_ox = jnp.asarray(base_ox_np, jnp.int32)
 
-    n_codes = cells * cells
-    # signed radius steps: +minR..+maxR then -minR..-maxR
-    steps = jnp.asarray(
-        [r for r in range(min_r, max_r + 1)]
-        + [-r for r in range(min_r, max_r + 1)],
-        jnp.int32,
-    )
+    # A walk step at radius r lands within the 3x3 patch only when r is
+    # within ~4 of the pixel's distance to the centre (floor bias pushes a
+    # landing up to sqrt(2) px, the patch adds sqrt(2), rounding 0.5) — so
+    # instead of all 2*(max_r-min_r+1) steps we test r = round(d) + k for
+    # k in [-4, 4], both signs: 18 steps instead of 60. Exact: verified
+    # against the brute-force walk; out-of-range k masked.
+    d_pix = np.sqrt(base_oy_np.astype(np.float64) ** 2 + base_ox_np.astype(np.float64) ** 2)
+    rhat = np.round(d_pix).astype(np.int32)
+    ks = range(-4, 5)
+
+    # radius-band tables over the same (larger) window, for the fused
+    # radius estimation (shares the window gathers with the vote rescore)
+    band_onehot_np, band_dist_np, _, n_bands = _radius_tables(min_r, max_r, ext)
+    band_onehot = jnp.asarray(band_onehot_np)
+    band_dist = jnp.asarray(band_dist_np)
 
     def windows(y, x):
-        # padded index (y + half) puts the window at unpadded rows y - max_r
-        e = jax.lax.dynamic_slice(ep, (y + half, x + half), (win, win)).reshape(-1)
-        wx = jax.lax.dynamic_slice(sxp, (y + half, x + half), (win, win)).reshape(-1)
-        wy = jax.lax.dynamic_slice(syp, (y + half, x + half), (win, win)).reshape(-1)
-        return e.astype(jnp.float32), wx, wy
+        # padded index (y + half) puts the window at unpadded rows y - ext
+        p = jax.lax.dynamic_slice(pk, (y + half, x + half), (win, win)).reshape(-1)
+        e = (p & 1).astype(jnp.float32)
+        wx = ((p >> 1) & 0xFFF).astype(jnp.float32) - 1024.0
+        wy = ((p >> 13) & 0xFFF).astype(jnp.float32) - 1024.0
+        # non-edge pixels are packed with sx=sy=0 and e=0, so their walk
+        # contributes nothing to the e-weighted scores
+        return e, wx, wy
 
-    e, wx, wy = jax.vmap(windows)(ys, xs)  # [K, W2] each
+    inv1024 = jnp.float32(1.0 / 1024.0)  # exact power-of-two scale
+    base_ox_f = base_ox.astype(jnp.float32)
+    base_oy_f = base_oy.astype(jnp.float32)
 
-    def body(k, score):
-        rs = steps[k]
-        # vote displacement of this walk step relative to the candidate's
-        # centre cell, for every window pixel (arithmetic shift = OpenCV)
-        ddx = jnp.right_shift(rs * wx, 10) - base_ox[None, :]
-        ddy = jnp.right_shift(rs * wy, 10) - base_oy[None, :]
-        ok = (jnp.abs(ddx) <= half) & (jnp.abs(ddy) <= half)
-        code = jnp.where(ok, (ddy + half) * cells + (ddx + half), n_codes)
-        onehot = (code[:, :, None] == jnp.arange(n_codes)[None, None, :]).astype(jnp.float32)
-        return score + jnp.einsum("kw,kwc->kc", e, onehot)
+    def score_chunk(args):
+        cy, cx = args
+        e, wx, wy = jax.vmap(windows)(cy, cx)  # [C, W2] each, f32
+        # All 18 walk steps accumulate into two bit-packed int32 planes
+        # (5 bits per patch cell, cells 0-4 in acc1, 5-8 in acc2). The
+        # chain is purely elementwise, so XLA fuses it into a single pass
+        # over the windows instead of materialising per-step planes.
+        acc1 = jnp.zeros(e.shape, jnp.int32)
+        acc2 = jnp.zeros(e.shape, jnp.int32)
+        one = jnp.int32(1)
+        for k in ks:
+            r_raw = rhat + k
+            r_ok = (r_raw >= min_r) & (r_raw <= max_r)
+            rv = jnp.asarray(np.clip(r_raw, min_r, max_r).astype(np.float32))[None, :]
+            rmask = jnp.asarray(r_ok)[None, :]
+            for sign in (1, -1):
+                # f32 replication of the walk: |r*s| <= 30720 < 2^24 is an
+                # exact f32 integer and /1024 is an exact scale, so floor
+                # reproduces the arithmetic shift bit-exactly (incl. the
+                # toward--inf behaviour on negatives)
+                ddx = jnp.floor(rv * (sign * wx) * inv1024) - base_ox_f[None, :]
+                ddy = jnp.floor(rv * (sign * wy) * inv1024) - base_oy_f[None, :]
+                inb = (
+                    (jnp.abs(ddx) <= 1.0) & (jnp.abs(ddy) <= 1.0) & rmask
+                )
+                code = ((ddy + 1.0) * 3.0 + (ddx + 1.0)).astype(jnp.int32)
+                code = jnp.where(inb, code, 9)
+                lo = code < 5
+                acc1 = acc1 + jnp.where(lo, one << (5 * code), 0)
+                acc2 = acc2 + jnp.where(
+                    lo | (code > 8), 0, one << (5 * (code - 5))
+                )
+        score = [
+            jnp.sum(
+                e * (((acc1 if c < 5 else acc2) >> (5 * (c if c < 5 else c - 5))) & 31
+                     ).astype(jnp.float32),
+                axis=1,
+            )
+            for c in range(9)
+        ]
+        # fused radius estimate (same window): most-supported distance band
+        counts = e @ band_onehot  # [C, n_bands] (MXU)
+        dsums = (e * band_dist[None, :]) @ band_onehot
+        r_rep = jnp.where(counts > 0, dsums / jnp.maximum(counts, 1.0), 1.0)
+        rscore = jnp.where(counts > 0, counts / r_rep, -1.0)
+        best = jnp.argmax(rscore, axis=1)
+        r_best = jnp.take_along_axis(r_rep, best[:, None], 1)[:, 0]
+        support = jnp.take_along_axis(counts, best[:, None], 1)[:, 0]
+        return jnp.stack(score, axis=1), r_best, support
 
-    score = jax.lax.fori_loop(
-        0, steps.shape[0], body, jnp.zeros((ys.shape[0], n_codes), jnp.float32)
+    # chunk the candidate axis: window gathers for every candidate at once
+    # would hold K*win^2 live per array (OOM at batch scale)
+    K = ys.shape[0]
+    C = min(32, K)
+    if K % C:
+        padn = C - K % C
+        ys = jnp.concatenate([ys, jnp.zeros((padn,), ys.dtype)])
+        xs = jnp.concatenate([xs, jnp.zeros((padn,), xs.dtype)])
+    score, r_best, support = jax.lax.map(
+        score_chunk, (ys.reshape(-1, C), xs.reshape(-1, C))
     )
-    return score.reshape(ys.shape[0], cells, cells)
+    score = score.reshape(-1, cells * cells)[:K]
+    return (
+        score.reshape(K, cells, cells),
+        r_best.reshape(-1)[:K],
+        support.reshape(-1)[:K],
+    )
 
 
 @functools.lru_cache(maxsize=8)
-def _radius_tables(min_r: int, max_r: int):
+def _radius_tables(min_r: int, max_r: int, ext: int | None = None):
     """Static distance->band one-hot over the candidate window.
 
     Bands are width-1 with centres every 0.5 px (two interleaved binnings),
     approximating OpenCV's data-aligned distance runs: a ring spread over
     e.g. [6.9, 7.9] lands fully in the 7.5-centred band instead of being
-    split between integer bins.
+    split between integer bins. `ext` is the window half-extent (>= max_r).
     """
-    win = 2 * max_r + 1
-    u = np.arange(win)[:, None] - max_r - 0.5
-    v = np.arange(win)[None, :] - max_r - 0.5
+    if ext is None:
+        ext = max_r
+    win = 2 * ext + 1
+    u = np.arange(win)[:, None] - ext - 0.5
+    v = np.arange(win)[None, :] - ext - 0.5
     d = np.sqrt(u * u + v * v)
     keep = (d * d >= min_r * min_r) & (d * d <= max_r * max_r)
     centres = np.arange(2 * min_r, 2 * max_r + 1) * 0.5  # minR, minR+.5, ...
@@ -233,8 +335,19 @@ def estimate_radii(edge_mask, ys, xs, min_r: int, max_r: int,
         best = jnp.argmax(score)
         return r_rep[best], counts[best] > acc_threshold
 
-    r_best, supported = jax.vmap(one)(ys, xs)
-    return r_best, supported
+    # chunk the candidate axis (same OOM concern as exact_rescore)
+    K = ys.shape[0]
+    C = min(32, K)
+    ys_p, xs_p = ys, xs
+    if K % C:
+        padn = C - K % C
+        ys_p = jnp.concatenate([ys, jnp.zeros((padn,), ys.dtype)])
+        xs_p = jnp.concatenate([xs, jnp.zeros((padn,), xs.dtype)])
+    r_best, supported = jax.lax.map(
+        lambda a: jax.vmap(one)(a[0], a[1]),
+        (ys_p.reshape(-1, C), xs_p.reshape(-1, C)),
+    )
+    return r_best.reshape(-1)[:K], supported.reshape(-1)[:K]
 
 
 def greedy_min_dist(ys, xs, valid, supported, min_dist: float):
@@ -285,7 +398,9 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
     sx, sy = pixel_steps(dx, dy)
     sx = jnp.where(emask, sx, 0)
     sy = jnp.where(emask, sy, 0)
-    patch = exact_rescore(emask, sx, sy, ys_c, xs_c, min_r, max_r, cells=3)
+    patch, r_best, support = exact_rescore(
+        emask, sx, sy, ys_c, xs_c, min_r, max_r, cells=3
+    )
     flat = patch.reshape(patch.shape[0], -1)
     best_cell = jnp.argmax(flat, axis=1)
     exact_votes = jnp.take_along_axis(flat, best_cell[:, None], axis=1)[:, 0]
@@ -314,7 +429,8 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
     # y-major flat index like OpenCV's sort), then greedy minDist
     order = jnp.lexsort((ys_c * W + xs_c, -exact_votes.astype(jnp.int32)))
     ys_c, xs_c, valid = ys_c[order], xs_c[order], valid[order]
-    r_best, supported = estimate_radii(emask, ys_c, xs_c, min_r, max_r, acc_threshold)
+    r_best = r_best[order]
+    supported = support[order] > acc_threshold
     accepted = greedy_min_dist(ys_c, xs_c, valid, supported, min_dist)
 
     # compact accepted circles into the first max_out slots

@@ -1,0 +1,47 @@
+"""exact_rescore must reproduce OpenCV's vote walk bit-exactly.
+
+Brute-force reference: for every edge pixel, walk both directions at all
+radii with the 10-bit fixed-point steps and count landings per patch cell.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from img2sgf_tpu.hough.circles import exact_rescore
+
+
+def _brute(emask, sx, sy, cy, cx, min_r, max_r):
+    H, W = emask.shape
+    score = np.zeros((3, 3))
+    reach = max_r + 6
+    for py in range(max(0, cy - reach), min(H, cy + reach + 1)):
+        for px in range(max(0, cx - reach), min(W, cx + reach + 1)):
+            if not emask[py, px]:
+                continue
+            for sign in (1, -1):
+                for r in range(min_r, max_r + 1):
+                    ly = py + ((r * sign * sy[py, px]) >> 10)
+                    lx = px + ((r * sign * sx[py, px]) >> 10)
+                    if -1 <= ly - cy <= 1 and -1 <= lx - cx <= 1:
+                        score[ly - cy + 1, lx - cx + 1] += 1
+    return score
+
+
+def test_exact_rescore_matches_brute_force_walk():
+    rng = np.random.default_rng(7)
+    H = W = 96
+    emask = rng.random((H, W)) < 0.10
+    ang = rng.uniform(0, 2 * np.pi, (H, W))
+    sx = (np.rint(1024 * np.cos(ang)).astype(np.int32)) * emask
+    sy = (np.rint(1024 * np.sin(ang)).astype(np.int32)) * emask
+    ys = rng.integers(5, H - 5, 12)
+    xs = rng.integers(5, W - 5, 12)
+    patch, _r, _s = exact_rescore(
+        jnp.asarray(emask), jnp.asarray(sx), jnp.asarray(sy),
+        jnp.asarray(ys), jnp.asarray(xs), 1, 30, 3,
+    )
+    got = np.asarray(patch)
+    for i in range(12):
+        want = _brute(emask, sx, sy, int(ys[i]), int(xs[i]), 1, 30)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"candidate {i}")

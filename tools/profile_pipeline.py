@@ -20,17 +20,27 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def bench_one(name, fn, *args, reps=5):
+def _materialize(out):
+    """Force completion: the axon tunnel's block_until_ready is a no-op, so
+    fetch a scalar reduction of every output leaf to the host."""
     import jax
+    import jax.numpy as jnp
 
+    # the whole program completes before any output is ready, so fetching
+    # one leaf is enough to fence the computation
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def bench_one(name, fn, *args, reps=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-        jax.block_until_ready(out)
+        _materialize(out)
     dt = (time.perf_counter() - t0) / reps
-    print(f"{name:24s} {dt * 1e3:9.2f} ms")
+    print(f"{name:24s} {dt * 1e3:9.2f} ms", flush=True)
     return dt
 
 
@@ -72,6 +82,47 @@ def main():
             cfg.hysteresis_iters,
         )
 
+    # circle-stage internals
+    from img2sgf_tpu.hough.circles import (
+        centre_candidates, estimate_radii, exact_rescore, greedy_min_dist,
+        pixel_steps, vote_accumulator,
+    )
+    from img2sgf_tpu.ops.sobel import sobel3
+
+    def circ_front(v):
+        dx, dy = sobel3(v.astype(jnp.int32))
+        edges2 = canny(v, 50, 100, iters=cfg.hysteresis_iters)
+        emask = (edges2 > 0) & ((dx != 0) | (dy != 0))
+        return emask, dx, dy
+
+    fronts = jax.jit(B(B(circ_front)))(variants)
+    bench_one("  circ: sobel+canny", jax.jit(B(B(circ_front))), variants)
+    bench_one(
+        "  circ: vote_acc",
+        jax.jit(B(B(lambda e, dx, dy: vote_accumulator(e, dx, dy, cfg.num_angle_bins, 1, 30)))),
+        *fronts,
+    )
+    accs = jax.jit(B(B(lambda e, dx, dy: vote_accumulator(e, dx, dy, cfg.num_angle_bins, 1, 30))))(*fronts)
+    bench_one(
+        "  circ: candidates",
+        jax.jit(B(B(lambda a: centre_candidates(a, 18.0, cfg.max_center_candidates)))),
+        accs,
+    )
+    cands = jax.jit(B(B(lambda a: centre_candidates(a, 18.0, cfg.max_center_candidates))))(accs)
+    ys, xs = cands[0], cands[1]
+
+    def resc(e, dx, dy, y, x):
+        sx, sy = pixel_steps(dx, dy)
+        sx = jnp.where(e, sx, 0)
+        sy = jnp.where(e, sy, 0)
+        return exact_rescore(e, sx, sy, y, x, 1, 30, 3)
+
+    bench_one("  circ: rescore+radii", jax.jit(B(B(resc))), fronts[0], fronts[1], fronts[2], ys, xs)
+    bench_one(
+        "  circ: greedy",
+        jax.jit(B(B(lambda y, x: greedy_min_dist(y, x, y > 0, x > 0, 10.0)))),
+        ys, xs,
+    )
     bench_one("hough_circles(x10)", jax.jit(B(B(circ))), variants)
     circles, valid = jax.jit(B(B(circ)))(variants)
     circles = circles.reshape(batch, -1, 3)
