@@ -29,19 +29,25 @@ def _enable_compile_cache():
 
 def run_headless(input_path: str, output_path: str | None, verbose: bool = True) -> int:
     _enable_compile_cache()
-    import jax.numpy as jnp
-
     from .config import DetectionConfig, choose_line_threshold
     from .core import to_sgf
     from .hostio import load_rgb
-    from .pipeline import detect_board_jit
+    from .pipeline import detect_board_auto
 
-    rgb = load_rgb(input_path)
+    try:
+        rgb = load_rgb(input_path)
+    except (OSError, ValueError) as e:
+        # reference shows an error dialog (img2sgf.py:650-656); headless
+        # prints the same message and fails cleanly
+        print(f"Error opening file {input_path}:\n{e}", file=sys.stderr)
+        return 1
     cfg = DetectionConfig()
     thr = choose_line_threshold(rgb.shape[0], rgb.shape[1])
     if verbose:
         print(f"Image size {rgb.shape[1]}x{rgb.shape[0]}, line threshold {thr}")
-    res = detect_board_jit(jnp.asarray(rgb), cfg, thr)
+    # shape-bucketed execution: one compiled program per canvas bucket (plus
+    # the persistent cache above) instead of a 20-90 s compile per image size
+    res = detect_board_auto(rgb, cfg, thr)
     ready = bool(res.board_ready)
     if verbose:
         n_circ = int(np.asarray(res.circles_valid).sum())

@@ -46,13 +46,17 @@ def window_means(integral, y0, y1, x0, x1):
 
 
 def intersection_intensities(grey_u8, hc, vc, hsize, vsize, hspace, vspace,
-                             board_size: int):
+                             board_size: int, hw=None):
     """average_intensity for every board point as one gather (:468-481).
 
     Returns [board_size, board_size] f32 indexed [i, j] = (column i of
-    vcentres, row j of hcentres), like detected_board.
+    vcentres, row j of hcentres), like detected_board. hw=(h, w): content
+    dims inside a fixed canvas — the window clamp uses them, matching
+    native-size bounds (img2sgf.py:472-475).
     """
     H, W = grey_u8.shape
+    if hw is not None:
+        H, W = hw
     integral = integral_image(grey_u8)
     ii = jnp.arange(board_size)
     x = vc[jnp.clip(ii, 0, vc.shape[0] - 1)]
@@ -71,7 +75,7 @@ def intersection_intensities(grey_u8, hc, vc, hsize, vsize, hspace, vspace,
 
 
 def identify_board(grey_u8, circles_xyr, circles_valid, grid, black_stone_threshold,
-                   board_size: int):
+                   board_size: int, hw=None):
     """Snap circles to grid points and classify colours (:497-543).
 
     grid: output dict of validate_grid. Returns dict with detected_board
@@ -90,7 +94,8 @@ def identify_board(grey_u8, circles_xyr, circles_valid, grid, black_stone_thresh
     stone = (oi.astype(jnp.float32).T @ oj.astype(jnp.float32)) > 0
 
     inten = intersection_intensities(
-        grey_u8, hc, vc, hsize, vsize, grid["hspace"], grid["vspace"], board_size
+        grey_u8, hc, vc, hsize, vsize, grid["hspace"], grid["vspace"], board_size,
+        hw=hw,
     )
     black = stone & (inten <= black_stone_threshold)
     white = stone & ~black

@@ -72,9 +72,7 @@ class DetectSession:
         """
         if not self.image_loaded:
             return None
-        import jax.numpy as jnp
-
-        from ..pipeline import detect_board_jit
+        from ..pipeline import detect_board_auto
 
         self.log("\nProcessing image")
         if self.rotate_deg != 0:
@@ -86,7 +84,9 @@ class DetectSession:
         cfg = self.cfg.replace(contrast=float(self.contrast),
                                brightness=float(self.brightness),
                                black_stone_threshold=float(self.black_stone_threshold))
-        res = detect_board_jit(jnp.asarray(region), cfg, float(self.line_threshold))
+        # bucketed execution: zooming changes the crop shape on every drag;
+        # one compiled program per canvas bucket keeps re-detection instant
+        res = detect_board_auto(region, cfg, float(self.line_threshold))
         self.result = res
         self._narrate(res)
         if bool(res.board_ready):

@@ -63,20 +63,88 @@ def _walk_offsets(ux: float, uy: float, min_r: int, max_r: int):
     return weights
 
 
+def _cascade_tables(num_bins: int, min_r: int, max_r: int, seg: int = 5):
+    """Static offset tables for the two-level cascade accumulator.
+
+    Radii [min_r, max_r] are split into segments of `seg` consecutive radii
+    centred at t_m. Per bin, a partial plane P = sum_j shift(e_d, round(j*u))
+    over the centred inner offsets j in [-seg//2, seg//2] is built once and
+    reused by BOTH walk directions (inner offsets are odd-symmetric under
+    banker's rounding), then sampled at +/-round(t_m*u) per segment.
+    Approximation error vs the exact fixed-point walk cell is <= 1 px per
+    coordinate — same class as the direction quantization itself.
+    """
+    n = max_r - min_r + 1
+    assert n % seg == 0, "radius span must divide into whole segments"
+    half = seg // 2
+    inner, outer = [], []
+    for d in range(num_bins):
+        phi = d * math.pi / num_bins
+        ux, uy = math.cos(phi), math.sin(phi)
+        inner.append(
+            [(int(np.round(j * uy)), int(np.round(j * ux)))
+             for j in range(-half, half + 1)]
+        )
+        outs = []
+        for m in range(n // seg):
+            t = min_r + half + m * seg
+            by, bx = int(np.round(t * uy)), int(np.round(t * ux))
+            outs.append((by, bx))
+            outs.append((-by, -bx))
+        outer.append(outs)
+    return inner, outer
+
+
+def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
+                             max_r: int):
+    """Approximate centre-vote accumulator via a two-level shift cascade.
+
+    Same role as vote_accumulator stage 1 (candidate proposal; exact votes
+    are restored by exact_rescore), at ~18 plane-ops per direction bin
+    instead of ~55.
+    """
+    ang = jnp.arctan2(dy.astype(jnp.float32), dx.astype(jnp.float32))
+    step = math.pi / num_bins
+    bins = jnp.round(ang / step).astype(jnp.int32) % num_bins
+
+    H, W = edge_mask.shape
+    inner, outer = _cascade_tables(num_bins, min_r, max_r)
+    B = max_r  # max |outer offset| coordinate
+    pad = B + 3  # + max |inner offset| (<= seg//2 + rounding)
+    packed = jnp.where(edge_mask, bins, num_bins).astype(jnp.int32)
+    packed = jnp.pad(packed, pad, constant_values=num_bins)
+
+    acc = jnp.zeros((H, W), jnp.float32)
+    for d in range(num_bins):
+        e_d = (packed == d).astype(jnp.float32)
+        # partial plane over the expanded domain [H+2B, W+2B]
+        P = None
+        for (jy, jx) in inner[d]:
+            t = jax.lax.slice(
+                e_d, (pad - B - jy, pad - B - jx),
+                (pad - B - jy + H + 2 * B, pad - B - jx + W + 2 * B),
+            )
+            P = t if P is None else P + t
+        contrib = None
+        for (by, bx) in outer[d]:
+            t = jax.lax.slice(P, (B - by, B - bx), (B - by + H, B - bx + W))
+            contrib = t if contrib is None else contrib + t
+        # serialise per-bin schedules to bound liveness (see below)
+        acc, packed = jax.lax.optimization_barrier((acc + contrib, packed))
+    return acc
+
+
 def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int):
     """Centre-vote accumulator A[H, W] (f32).
 
     edge_mask: [H, W] bool (Canny edges with nonzero gradient).
     dx, dy: int32 Sobel gradients.
     """
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    if on_tpu and edge_mask.ndim == 2 and edge_mask.size <= 600_000:
-        from .vote_pallas import vote_accumulator_pallas
-
-        return vote_accumulator_pallas(edge_mask, dx, dy, num_bins, min_r, max_r)
+    # the cascade is ~3x faster than both the exact XLA chain and the Pallas
+    # roll kernel and only feeds the (already approximate) proposal stage;
+    # the exact per-offset chain below remains for A/B and small spans
+    if (max_r - min_r + 1) % 5 == 0:
+        return vote_accumulator_cascade(edge_mask, dx, dy, num_bins, min_r, max_r)
 
     ang = jnp.arctan2(dy.astype(jnp.float32), dx.astype(jnp.float32))
     step = math.pi / num_bins
@@ -110,20 +178,22 @@ def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int):
     return acc
 
 
-def centre_candidates(acc, acc_threshold: float, top_k: int):
+def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None):
     """Accumulator local maxima > threshold, descending vote order.
 
     Returns (ys, xs, votes, valid) each [top_k]. Border cells excluded
-    (OpenCV scans y, x in [1, size-2]).
+    (OpenCV scans y, x in [1, size-2]); with hw=(h, w) the scan bound is
+    the content block, not the canvas.
     """
     H, W = acc.shape
+    h, w = (H, W) if hw is None else hw
     left = shift2d(acc, 0, 1)
     right = shift2d(acc, 0, -1)
     up = shift2d(acc, 1, 0)
     down = shift2d(acc, -1, 0)
     ys_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    interior = (ys_i >= 1) & (ys_i <= H - 2) & (xs_i >= 1) & (xs_i <= W - 2)
+    interior = (ys_i >= 1) & (ys_i <= h - 2) & (xs_i >= 1) & (xs_i <= w - 2)
     is_max = (
         (acc > acc_threshold)
         & (acc > left)
@@ -151,7 +221,7 @@ def pixel_steps(dx, dy):
 
 
 def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
-                  cells: int = 3):
+                  cells: int = 3, valid=None):
     """Exact OpenCV accumulator votes on a (cells x cells) patch around each
     candidate centre.
 
@@ -184,21 +254,43 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
     base_oy = jnp.asarray(base_oy_np, jnp.int32)
     base_ox = jnp.asarray(base_ox_np, jnp.int32)
 
-    # A walk step at radius r lands within the 3x3 patch only when r is
-    # within ~4 of the pixel's distance to the centre (floor bias pushes a
-    # landing up to sqrt(2) px, the patch adds sqrt(2), rounding 0.5) — so
-    # instead of all 2*(max_r-min_r+1) steps we test r = round(d) + k for
-    # k in [-4, 4], both signs: 18 steps instead of 60. Exact: verified
-    # against the brute-force walk; out-of-range k masked.
+    # A walk step lands within the 3x3 patch only if |r*g - b| <= 2.015 per
+    # coordinate (g = signed unit gradient, b = offset to the candidate,
+    # 2.015 = patch reach 1 + floor bias 1 + fixed-point rounding r*0.5/1024),
+    # i.e. |r*g - b|_2 <= 2.85. Two exact consequences:
+    #   * |r - d| <= 2.85 where d = |b|, so with rhat = round(d) only
+    #     k = r - rhat in [-3, 3] can land (7 steps instead of 60);
+    #   * the wrong-sign walk (g pointing away from the candidate) requires
+    #     d <= 2.85, so outside the central 5x5 window block (d <= 2*sqrt(2),
+    #     and no integer lattice distance lies in (2.83, 2.85]) only the
+    #     toward-the-candidate sign needs walking. The central block gets a
+    #     tiny second pass with the opposite sign.
+    # Verified exact against the brute-force 60-step walk in
+    # tests/test_circles_exact.py.
     d_pix = np.sqrt(base_oy_np.astype(np.float64) ** 2 + base_ox_np.astype(np.float64) ** 2)
     rhat = np.round(d_pix).astype(np.int32)
-    ks = range(-4, 5)
+    ks = range(-3, 4)
+    # flat indices of the central 5x5 block (d <= 2*sqrt(2))
+    inner_flat_np = (
+        (np.arange(-2, 3)[:, None] + ext) * win + (np.arange(-2, 3)[None, :] + ext)
+    ).reshape(-1)
+    rhat_inner = rhat[inner_flat_np]
 
-    # radius-band tables over the same (larger) window, for the fused
-    # radius estimation (shares the window gathers with the vote rescore)
-    band_onehot_np, band_dist_np, _, n_bands = _radius_tables(min_r, max_r, ext)
-    band_onehot = jnp.asarray(band_onehot_np)
-    band_dist = jnp.asarray(band_dist_np)
+    # Radius-band tables for ALL 9 possible recentred positions, fused into
+    # one [win^2, 9*nb] one-hot so radius estimation shares the window
+    # gathers with the vote rescore AND is computed at the recentred centre
+    # (the radius histogram is position-sensitive: a 1 px shift moves edge
+    # pixels across 0.5 px bands and changes the support count).
+    oh_list, dh_list = [], []
+    n_bands = None
+    for cdy in (-1, 0, 1):
+        for cdx in (-1, 0, 1):
+            oh, dist, _, nb = _radius_tables(min_r, max_r, ext, cdy, cdx)
+            n_bands = nb
+            oh_list.append(oh)
+            dh_list.append(dist[:, None] * oh)
+    band_onehot = jnp.asarray(np.concatenate(oh_list, axis=1))   # [W2, 9*nb]
+    band_distoh = jnp.asarray(np.concatenate(dh_list, axis=1))
 
     def windows(y, x):
         # padded index (y + half) puts the window at unpadded rows y - ext
@@ -214,89 +306,133 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
     base_ox_f = base_ox.astype(jnp.float32)
     base_oy_f = base_oy.astype(jnp.float32)
 
-    def score_chunk(args):
-        cy, cx = args
-        e, wx, wy = jax.vmap(windows)(cy, cx)  # [C, W2] each, f32
-        # All 18 walk steps accumulate into two bit-packed int32 planes
-        # (5 bits per patch cell, cells 0-4 in acc1, 5-8 in acc2). The
-        # chain is purely elementwise, so XLA fuses it into a single pass
-        # over the windows instead of materialising per-step planes.
-        acc1 = jnp.zeros(e.shape, jnp.int32)
-        acc2 = jnp.zeros(e.shape, jnp.int32)
+    def walk_pass(wxs, wys, rhat_s, box_f, boy_f):
+        """Bit-packed patch-cell vote counts for one signed walk over a slot
+        subset (5 bits per cell, cells 0-4 in acc1, 5-8 in acc2). The chain
+        is purely elementwise, so XLA fuses it into a single pass.
+
+        f32 replication of the walk: |r*s| <= 30720 < 2^24 is an exact f32
+        integer and /1024 an exact scale, so floor reproduces OpenCV's
+        arithmetic shift bit-exactly (incl. toward--inf on negatives).
+        """
+        acc1 = jnp.zeros(wxs.shape, jnp.int32)
+        acc2 = jnp.zeros(wxs.shape, jnp.int32)
         one = jnp.int32(1)
         for k in ks:
-            r_raw = rhat + k
+            r_raw = rhat_s + k
             r_ok = (r_raw >= min_r) & (r_raw <= max_r)
             rv = jnp.asarray(np.clip(r_raw, min_r, max_r).astype(np.float32))[None, :]
             rmask = jnp.asarray(r_ok)[None, :]
-            for sign in (1, -1):
-                # f32 replication of the walk: |r*s| <= 30720 < 2^24 is an
-                # exact f32 integer and /1024 is an exact scale, so floor
-                # reproduces the arithmetic shift bit-exactly (incl. the
-                # toward--inf behaviour on negatives)
-                ddx = jnp.floor(rv * (sign * wx) * inv1024) - base_ox_f[None, :]
-                ddy = jnp.floor(rv * (sign * wy) * inv1024) - base_oy_f[None, :]
-                inb = (
-                    (jnp.abs(ddx) <= 1.0) & (jnp.abs(ddy) <= 1.0) & rmask
-                )
-                code = ((ddy + 1.0) * 3.0 + (ddx + 1.0)).astype(jnp.int32)
-                code = jnp.where(inb, code, 9)
-                lo = code < 5
-                acc1 = acc1 + jnp.where(lo, one << (5 * code), 0)
-                acc2 = acc2 + jnp.where(
-                    lo | (code > 8), 0, one << (5 * (code - 5))
-                )
+            ddx = jnp.floor(rv * wxs * inv1024) - box_f[None, :]
+            ddy = jnp.floor(rv * wys * inv1024) - boy_f[None, :]
+            inb = (jnp.abs(ddx) <= 1.0) & (jnp.abs(ddy) <= 1.0) & rmask
+            code = ((ddy + 1.0) * 3.0 + (ddx + 1.0)).astype(jnp.int32)
+            code = jnp.where(inb, code, 9)
+            lo = code < 5
+            acc1 = acc1 + jnp.where(lo, one << (5 * code), 0)
+            acc2 = acc2 + jnp.where(lo | (code > 8), 0, one << (5 * (code - 5)))
+        return acc1, acc2
+
+    inner_flat = jnp.asarray(inner_flat_np)
+
+    def score_chunk(args):
+        cy, cx = args
+        e, wx, wy = jax.vmap(windows)(cy, cx)  # [C, W2] each, f32
+        # main pass: toward-the-candidate sign only (see pruning proof above)
+        proj = wy * base_oy_f[None, :] + wx * base_ox_f[None, :]
+        sgn = jnp.where(proj >= 0.0, 1.0, -1.0)
+        acc1, acc2 = walk_pass(sgn * wx, sgn * wy, rhat, base_ox_f, base_oy_f)
+        # inner pass: central 5x5 slots also walk the opposite sign
+        e_i = e[:, inner_flat_np]
+        sgn_i = sgn[:, inner_flat_np]
+        acc1i, acc2i = walk_pass(
+            -sgn_i * wx[:, inner_flat_np],
+            -sgn_i * wy[:, inner_flat_np],
+            rhat_inner,
+            base_ox_f[inner_flat],
+            base_oy_f[inner_flat],
+        )
         score = [
             jnp.sum(
                 e * (((acc1 if c < 5 else acc2) >> (5 * (c if c < 5 else c - 5))) & 31
                      ).astype(jnp.float32),
                 axis=1,
             )
+            + jnp.sum(
+                e_i * (((acc1i if c < 5 else acc2i) >> (5 * (c if c < 5 else c - 5))) & 31
+                       ).astype(jnp.float32),
+                axis=1,
+            )
             for c in range(9)
         ]
-        # fused radius estimate (same window): most-supported distance band
-        counts = e @ band_onehot  # [C, n_bands] (MXU)
-        dsums = (e * band_dist[None, :]) @ band_onehot
+        # fused radius estimate (same window), per recentred patch cell:
+        # most-supported distance band at each of the 9 centres (MXU)
+        counts = (e @ band_onehot).reshape(-1, 9, n_bands)
+        dsums = (e @ band_distoh).reshape(-1, 9, n_bands)
         r_rep = jnp.where(counts > 0, dsums / jnp.maximum(counts, 1.0), 1.0)
         rscore = jnp.where(counts > 0, counts / r_rep, -1.0)
-        best = jnp.argmax(rscore, axis=1)
-        r_best = jnp.take_along_axis(r_rep, best[:, None], 1)[:, 0]
-        support = jnp.take_along_axis(counts, best[:, None], 1)[:, 0]
+        best = jnp.argmax(rscore, axis=2)
+        r_best = jnp.take_along_axis(r_rep, best[:, :, None], 2)[:, :, 0]
+        support = jnp.take_along_axis(counts, best[:, :, None], 2)[:, :, 0]
         return jnp.stack(score, axis=1), r_best, support
 
     # chunk the candidate axis: window gathers for every candidate at once
     # would hold K*win^2 live per array (OOM at batch scale)
     K = ys.shape[0]
     C = min(32, K)
+    if valid is None:
+        valid = jnp.ones((K,), jnp.bool_)
     if K % C:
         padn = C - K % C
         ys = jnp.concatenate([ys, jnp.zeros((padn,), ys.dtype)])
         xs = jnp.concatenate([xs, jnp.zeros((padn,), xs.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((padn,), jnp.bool_)])
+
+    # candidates arrive in descending vote order, so validity is a prefix:
+    # whole trailing chunks are dead and lax.cond (sequential inside
+    # lax.map's scan, so a real branch, not a select) skips their gathers
+    # and walk entirely — most images fill a fraction of the top_k budget
+    def maybe_chunk(args):
+        cy, cx, any_valid = args
+        nc = cy.shape[0]
+        zeros = (
+            jnp.zeros((nc, cells * cells), jnp.float32),
+            jnp.zeros((nc, 9), jnp.float32),
+            jnp.zeros((nc, 9), jnp.float32),
+        )
+        return jax.lax.cond(
+            any_valid, lambda: score_chunk((cy, cx)), lambda: zeros
+        )
+
+    chunk_valid = jnp.any(valid.reshape(-1, C), axis=1)
     score, r_best, support = jax.lax.map(
-        score_chunk, (ys.reshape(-1, C), xs.reshape(-1, C))
+        maybe_chunk, (ys.reshape(-1, C), xs.reshape(-1, C), chunk_valid)
     )
     score = score.reshape(-1, cells * cells)[:K]
     return (
         score.reshape(K, cells, cells),
-        r_best.reshape(-1)[:K],
-        support.reshape(-1)[:K],
+        r_best.reshape(-1, 9)[:K],    # per recentred patch cell
+        support.reshape(-1, 9)[:K],
     )
 
 
-@functools.lru_cache(maxsize=8)
-def _radius_tables(min_r: int, max_r: int, ext: int | None = None):
+@functools.lru_cache(maxsize=128)
+def _radius_tables(min_r: int, max_r: int, ext: int | None = None,
+                   cdy: int = 0, cdx: int = 0):
     """Static distance->band one-hot over the candidate window.
 
     Bands are width-1 with centres every 0.5 px (two interleaved binnings),
     approximating OpenCV's data-aligned distance runs: a ring spread over
     e.g. [6.9, 7.9] lands fully in the 7.5-centred band instead of being
-    split between integer bins. `ext` is the window half-extent (>= max_r).
+    split between integer bins. `ext` is the window half-extent (>= max_r);
+    (cdy, cdx) shift the centre the distances are measured from (used for
+    the recentred patch cells).
     """
     if ext is None:
         ext = max_r
     win = 2 * ext + 1
-    u = np.arange(win)[:, None] - ext - 0.5
-    v = np.arange(win)[None, :] - ext - 0.5
+    u = np.arange(win)[:, None] - ext - cdy - 0.5
+    v = np.arange(win)[None, :] - ext - cdx - 0.5
     d = np.sqrt(u * u + v * v)
     keep = (d * d >= min_r * min_r) & (d * d <= max_r * max_r)
     centres = np.arange(2 * min_r, 2 * max_r + 1) * 0.5  # minR, minR+.5, ...
@@ -373,23 +509,33 @@ def greedy_min_dist(ys, xs, valid, supported, min_dist: float):
 def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
                            min_dist: float, min_r: int, max_r: int,
                            num_bins: int, top_k: int, max_out: int,
-                           hysteresis_iters: int = 24):
+                           hysteresis_iters: int = 24, hw=None):
     """Full HOUGH_GRADIENT on one [H, W] uint8 image.
 
     Returns (circles [max_out, 3] f32 as (cx, cy, r), valid [max_out] bool).
-    Centres carry OpenCV's +0.5 px offset.
+    Centres carry OpenCV's +0.5 px offset. hw=(h, w): content dims inside a
+    fixed canvas (shape-bucketed mode) — edges are confined to the content
+    block, candidate NMS scans its interior, and results match native size.
     """
     H, W = img_u8.shape
-    dx, dy = sobel3(img_u8.astype(jnp.int32))
+    if hw is not None:
+        from ..ops.common import border_remap
+
+        img_r = border_remap(img_u8, hw[0], hw[1], "replicate")
+    else:
+        img_r = img_u8
+    dx, dy = sobel3(img_r.astype(jnp.int32))
     edges = canny(img_u8, max(canny_high / 2, 1), canny_high,
-                  iters=hysteresis_iters)
+                  iters=hysteresis_iters, hw=hw)
     emask = (edges > 0) & ((dx != 0) | (dy != 0))
 
     # stage 1: approximate accumulator (direction-binned) proposes peaks.
     # A lower threshold compensates for quantization spreading votes off
     # the true peak cell; stage 2 restores exact OpenCV vote counts.
     acc = vote_accumulator(emask, dx, dy, num_bins, min_r, max_r)
-    ys, xs, votes, valid = centre_candidates(acc, 0.6 * acc_threshold, top_k)
+    # 0.5x: margin for direction-quantization + cascade rounding smear;
+    # stage 2 restores exact votes so extra proposals only cost rescore work
+    ys, xs, votes, valid = centre_candidates(acc, 0.5 * acc_threshold, top_k, hw=hw)
     ys_c = jnp.clip(ys, 0, H - 1)
     xs_c = jnp.clip(xs, 0, W - 1)
 
@@ -399,12 +545,15 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
     sx = jnp.where(emask, sx, 0)
     sy = jnp.where(emask, sy, 0)
     patch, r_best, support = exact_rescore(
-        emask, sx, sy, ys_c, xs_c, min_r, max_r, cells=3
+        emask, sx, sy, ys_c, xs_c, min_r, max_r, cells=3, valid=valid
     )
     flat = patch.reshape(patch.shape[0], -1)
     best_cell = jnp.argmax(flat, axis=1)
     exact_votes = jnp.take_along_axis(flat, best_cell[:, None], axis=1)[:, 0]
     py, px = best_cell // 3, best_cell % 3
+    # radius estimate at the recentred position (patch cell argmax)
+    r_best = jnp.take_along_axis(r_best, best_cell[:, None], axis=1)[:, 0]
+    support = jnp.take_along_axis(support, best_cell[:, None], axis=1)[:, 0]
 
     # OpenCV's NMS pattern on the exact votes, where the patch shows the
     # neighbour: > left, >= right, > up, >= down (out-of-patch passes)

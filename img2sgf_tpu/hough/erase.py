@@ -15,10 +15,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def erase_circles(edges_u8, circles_xyr, valid):
+def erase_circles(edges_u8, circles_xyr, valid, hw=None):
     """edges_u8: [H, W] uint8; circles_xyr: [C, 3] (cx, cy, r); valid: [C].
 
-    Returns uint8 [H, W].
+    Returns uint8 [H, W]. hw=(h, w): content dims inside a fixed canvas —
+    painting is clipped to the content block like cv.rectangle/cv.circle
+    clip to the image.
     """
     H, W = edges_u8.shape
     xc, yc, r = circles_xyr[:, 0], circles_xyr[:, 1], circles_xyr[:, 2]
@@ -48,4 +50,9 @@ def erase_circles(edges_u8, circles_xyr, valid):
         dot = dot | ((drow.T @ dcol) > 0)
 
     out = jnp.where(boxed, jnp.uint8(0), edges_u8)
-    return jnp.where(dot, jnp.uint8(255), out)
+    out = jnp.where(dot, jnp.uint8(255), out)
+    if hw is not None:
+        from ..ops.common import region_mask
+
+        out = out * region_mask((H, W), hw[0], hw[1], jnp.uint8)
+    return out

@@ -11,7 +11,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from .common import pad_reflect101, pad_replicate
+from .common import border_remap, pad_reflect101, pad_replicate
 
 
 def gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
@@ -41,12 +41,18 @@ def gaussian_kernel_fixed(ksize: int, sigma: float) -> np.ndarray:
     return base
 
 
-def gaussian_blur(img_u8, ksize: int, sigma: float):
+def gaussian_blur(img_u8, ksize: int, sigma: float, hw=None):
     """Separable Gaussian on uint8 [..., H, W], BORDER_REFLECT_101,
     bit-exact vs cv.GaussianBlur on 8U (integer Q8.8 kernel, full-precision
-    accumulation, final (x + 2^15) >> 16 rounding)."""
+    accumulation, final (x + 2^15) >> 16 rounding).
+
+    hw=(h, w): content dims inside a fixed canvas (shape-bucketed mode);
+    the border band is rewritten so content results equal native-size ones.
+    """
     if ksize == 1:
         return img_u8
+    if hw is not None:
+        img_u8 = border_remap(img_u8, hw[0], hw[1], "reflect101")
     kq = gaussian_kernel_fixed(ksize, sigma)
     r = ksize // 2
     x = pad_reflect101(img_u8.astype(jnp.int32), r)
@@ -61,7 +67,7 @@ def gaussian_blur(img_u8, ksize: int, sigma: float):
     return ((out + (1 << 15)) >> 16).astype(jnp.uint8)
 
 
-def median_blur(img_u8, ksize: int):
+def median_blur(img_u8, ksize: int, hw=None):
     """Exact median filter on uint8 [..., H, W], BORDER_REPLICATE.
 
     Implementation: stack the k*k shifted window planes on a leading axis
@@ -71,6 +77,8 @@ def median_blur(img_u8, ksize: int):
     """
     if ksize == 1:
         return img_u8
+    if hw is not None:
+        img_u8 = border_remap(img_u8, hw[0], hw[1], "replicate")
     r = ksize // 2
     x = pad_replicate(img_u8, r)
     H, W = img_u8.shape[-2], img_u8.shape[-1]
@@ -84,13 +92,13 @@ def median_blur(img_u8, ksize: int):
     return med
 
 
-def blur_pyramid(grey_u8, edges_u8, maxblur: int = 3):
+def blur_pyramid(grey_u8, edges_u8, maxblur: int = 3, hw=None):
     """The reference's 2 + 2*(maxblur+1) circle-detection variants
     (img2sgf.py:171-175): [grey, edges, median_1, gauss_1, median_3,
     gauss_3, ...]. Returns a [V, H, W] uint8 stack."""
     variants = [grey_u8, edges_u8]
     for i in range(maxblur + 1):
         b = 2 * i + 1
-        variants.append(median_blur(grey_u8, b))
-        variants.append(gaussian_blur(grey_u8, b, float(b)))
+        variants.append(median_blur(grey_u8, b, hw=hw))
+        variants.append(gaussian_blur(grey_u8, b, float(b), hw=hw))
     return jnp.stack(variants, axis=0)

@@ -124,9 +124,26 @@ def hysteresis(strong, cand, iters: int):
     return edge.astype(jnp.bool_)
 
 
-def canny(img_u8, low: float, high: float, l2gradient: bool = False, iters: int = 24):
+def canny(img_u8, low: float, high: float, l2gradient: bool = False, iters: int = 24,
+          hw=None):
     """cv.Canny parity on a [H, W] or [H, W, C] uint8 image. Returns uint8
-    {0, 255} edge map."""
+    {0, 255} edge map.
+
+    hw=(h, w): content dims inside a fixed canvas (shape-bucketed mode).
+    The canvas border band is rewritten with replicate semantics so Sobel
+    matches native-size results inside the content block, and magnitudes
+    outside it are zeroed (OpenCV's zero border) before NMS/hysteresis, so
+    no edges exist or propagate outside the content block.
+    """
+    if hw is not None:
+        from .common import border_remap, region_mask
+
+        img_u8 = border_remap(
+            img_u8 if img_u8.ndim == 2 else jnp.moveaxis(img_u8, -1, 0),
+            hw[0], hw[1], "replicate",
+        )
+        if img_u8.ndim == 3:
+            img_u8 = jnp.moveaxis(img_u8, 0, -1)
     img = img_u8.astype(jnp.int32)
     if img.ndim == 3:
         # per-channel Sobel, then per-pixel pick the channel with max
@@ -154,6 +171,11 @@ def canny(img_u8, low: float, high: float, l2gradient: bool = False, iters: int 
         low_t, high_t = int(low) * int(low), int(high) * int(high)
     else:
         low_t, high_t = int(low), int(high)
+
+    if hw is not None:
+        from .common import region_mask
+
+        mag = mag * region_mask(mag.shape, hw[0], hw[1], jnp.int32)
 
     cand = _nms(mag, dx, dy, low_t)
     strong = cand & (mag > high_t)

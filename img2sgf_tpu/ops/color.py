@@ -37,19 +37,28 @@ def _pil_blend_trunc(degenerate_f, img_f, alpha):
     return jnp.floor(out).astype(jnp.uint8)
 
 
-def enhance_contrast(rgb_u8, contrast: float):
+def enhance_contrast(rgb_u8, contrast: float, hw=None):
     """PIL ImageEnhance.Contrast with the reference's slider remap.
 
     scaled = 102/(101-contrast) - 1 (img2sgf.py:142-144); the degenerate
-    image is a solid grey at int(mean(L) + 0.5).
+    image is a solid grey at int(mean(L) + 0.5). hw=(h, w): content dims
+    inside a fixed canvas — the mean is taken over the content block only
+    (padding would shift PIL's pivot grey).
     """
     alpha = 102.0 / (101.0 - contrast) - 1.0
     luma = pil_luma(rgb_u8)
     # exact integer sum (fits uint32 up to ~16 MPix); the f32 division is
     # accurate to ~2.5e-5 in [0,255], which only matters on exact .5 ties
-    total = jnp.sum(luma, dtype=jnp.uint32)
-    count = luma.size
-    mean = jnp.floor(total.astype(jnp.float32) / count + 0.5)
+    if hw is None:
+        total = jnp.sum(luma, dtype=jnp.uint32)
+        count = jnp.uint32(luma.size)
+    else:
+        from .common import region_mask
+
+        total = jnp.sum(luma * region_mask(luma.shape, hw[0], hw[1], jnp.uint32),
+                        dtype=jnp.uint32)
+        count = jnp.asarray(hw[0] * hw[1], jnp.uint32)
+    mean = jnp.floor(total.astype(jnp.float32) / count.astype(jnp.float32) + 0.5)
     return _pil_blend_trunc(mean, rgb_u8.astype(jnp.float32), alpha)
 
 
@@ -63,7 +72,7 @@ def enhance_brightness(rgb_u8, brightness: float):
     return _pil_blend_trunc(0.0, rgb_u8.astype(jnp.float32), alpha)
 
 
-def preprocess(rgb_u8, contrast: float, brightness: float):
+def preprocess(rgb_u8, contrast: float, brightness: float, hw=None):
     """Contrast then brightness enhancement (img2sgf.py:142-150)."""
-    out = enhance_contrast(rgb_u8, contrast)
+    out = enhance_contrast(rgb_u8, contrast, hw=hw)
     return enhance_brightness(out, brightness)

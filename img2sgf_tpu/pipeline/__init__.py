@@ -1,3 +1,17 @@
-from .detect import BoardResult, detect_board, detect_board_batch, detect_board_jit
+from .detect import (
+    BoardResult,
+    bucket_dim,
+    detect_board,
+    detect_board_auto,
+    detect_board_batch,
+    detect_board_jit,
+)
 
-__all__ = ["BoardResult", "detect_board", "detect_board_batch", "detect_board_jit"]
+__all__ = [
+    "BoardResult",
+    "bucket_dim",
+    "detect_board",
+    "detect_board_auto",
+    "detect_board_batch",
+    "detect_board_jit",
+]

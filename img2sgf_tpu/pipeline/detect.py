@@ -75,23 +75,31 @@ jax.tree_util.register_dataclass(
 )
 
 
-def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold) -> BoardResult:
+def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold,
+                 content_hw=None) -> BoardResult:
     """rgb_u8: [H, W, 3] uint8. line_threshold: scalar (traced ok).
+
+    content_hw=(h, w) (traced scalars ok): shape-bucketed mode — rgb_u8 is
+    a fixed-size canvas whose top-left [h, w] block is the real image, and
+    results match running the pipeline at native [h, w] size. One compiled
+    program then serves every image that fits the canvas (the GUI's
+    zoom-to-region and the CLI would otherwise recompile per image shape).
 
     Returns BoardResult. Jit with cfg static:
         jax.jit(detect_board, static_argnums=1)
     """
+    hw = content_hw
     # --- preprocess (img2sgf.py:142-153)
     with jax.named_scope("preprocess"):
-        rgb = preprocess(rgb_u8, cfg.contrast, cfg.brightness)
+        rgb = preprocess(rgb_u8, cfg.contrast, cfg.brightness, hw=hw)
         grey = grey_bgr_quirk(rgb)
     with jax.named_scope("canny"):
         edges = canny(rgb, cfg.edge_min, cfg.edge_max, cfg.gradient_l2,
-                      iters=cfg.hysteresis_iters)
+                      iters=cfg.hysteresis_iters, hw=hw)
 
     # --- circles over the blur pyramid (img2sgf.py:169-186)
     with jax.named_scope("blur_pyramid"):
-        variants = blur_pyramid(grey, edges, cfg.maxblur)
+        variants = blur_pyramid(grey, edges, cfg.maxblur, hw=hw)
 
     def per_variant(img):
         return hough_circles_gradient(
@@ -105,6 +113,7 @@ def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold) -> BoardResult:
             top_k=cfg.max_center_candidates,
             max_out=cfg.max_circles_per_variant,
             hysteresis_iters=cfg.hysteresis_iters,
+            hw=hw,
         )
 
     with jax.named_scope("hough_circles"):
@@ -114,7 +123,7 @@ def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold) -> BoardResult:
 
     # --- erase circles from the edge map (img2sgf.py:188-198)
     with jax.named_scope("erase_circles"):
-        removed = erase_circles(edges, circles, circles_valid)
+        removed = erase_circles(edges, circles, circles_valid, hw=hw)
 
     # --- lines + clustering (img2sgf.py:230-332)
     with jax.named_scope("hough_lines"):
@@ -145,7 +154,8 @@ def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold) -> BoardResult:
     fits = valid & (grid["hsize"] <= cfg.board_size) & (grid["vsize"] <= cfg.board_size)
 
     ident = identify_board(
-        grey, circles, cf_valid, grid, cfg.black_stone_threshold, cfg.board_size
+        grey, circles, cf_valid, grid, cfg.black_stone_threshold, cfg.board_size,
+        hw=hw,
     )
     detected = jnp.where(fits, ident["detected_board"], 0)
     full = align_board_jnp(
@@ -191,6 +201,45 @@ def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold) -> BoardResult:
 @functools.partial(jax.jit, static_argnums=1)
 def detect_board_jit(rgb_u8, cfg: DetectionConfig, line_threshold):
     return detect_board(rgb_u8, cfg, line_threshold)
+
+
+# canvas-size ladder for shape-bucketed execution: one compile per bucket
+# instead of one per exact image shape (GUI zoom changes the crop shape on
+# every drag; CLI images vary). Ratios ~1.25 bound padding waste to <2x area.
+_BUCKETS = (128, 160, 192, 256, 320, 384, 512, 640, 768, 960, 1280, 1600, 2048)
+
+
+def bucket_dim(n: int) -> int:
+    """Smallest ladder canvas dim >= n (multiples of 512 beyond the ladder)."""
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 512) * 512
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _detect_board_bucket_jit(rgb_canvas, cfg: DetectionConfig, line_threshold,
+                             h, w):
+    return detect_board(rgb_canvas, cfg, line_threshold, content_hw=(h, w))
+
+
+def detect_board_auto(rgb_np, cfg: DetectionConfig, line_threshold) -> BoardResult:
+    """Host entry: run one [h, w, 3] uint8 image via the shared bucketed
+    program (results match native-size detection; see detect_board's
+    content_hw). Image-plane diagnostics are cropped back to [h, w]."""
+    import numpy as np
+
+    h, w = int(rgb_np.shape[0]), int(rgb_np.shape[1])
+    hb, wb = bucket_dim(h), bucket_dim(w)
+    canvas = np.zeros((hb, wb, 3), np.uint8)
+    canvas[:h, :w] = np.asarray(rgb_np, np.uint8)
+    res = _detect_board_bucket_jit(jnp.asarray(canvas), cfg, line_threshold, h, w)
+    return dataclasses.replace(
+        res,
+        grey=res.grey[:h, :w],
+        edges=res.edges[:h, :w],
+        circles_removed=res.circles_removed[:h, :w],
+    )
 
 
 @functools.partial(jax.jit, static_argnums=1)

@@ -1,0 +1,64 @@
+"""Shape-bucketed detection must be bit-identical to native-size detection.
+
+detect_board_auto pads an image into a fixed canvas bucket and runs the
+shared compiled program with traced content dims (pipeline/detect.py
+content_hw). Every op emulates its OpenCV virtual border inside the canvas
+(ops/common.py border_remap) and masks results to the content block, so the
+outputs must match detect_board at the image's native shape exactly —
+including edge maps, circles and diagnostics.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from img2sgf_tpu.config import DetectionConfig
+from img2sgf_tpu.pipeline import bucket_dim, detect_board_auto, detect_board_jit
+
+from test_pipeline_smoke import synth_board
+
+TINY = DetectionConfig(
+    max_center_candidates=128,
+    max_circles_per_variant=32,
+    max_lines=256,
+    hysteresis_iters=8,
+)
+
+CHECK_FIELDS = (
+    "full_board", "detected_board", "hsize", "vsize", "board_ready",
+    "valid_grid", "num_black", "num_white", "side_to_move",
+    "hspace", "vspace", "intensities", "stone_mask",
+    "edges", "grey", "circles_removed",
+)
+
+
+@pytest.mark.parametrize(
+    "size,n,stones",
+    [
+        (147, 7, ((1, 2, 0), (3, 3, 255))),   # odd size -> padded bucket
+        (160, 9, ((2, 3, 0), (4, 4, 255))),   # exact bucket fit
+        (101, 5, ((1, 2, 0), (3, 3, 255))),   # small, heavy padding
+    ],
+)
+def test_bucketed_matches_native(size, n, stones):
+    rgb = synth_board(size=size, n=n, stones=stones)
+    native = detect_board_jit(jnp.asarray(rgb), TINY, 24.0)
+    bucketed = detect_board_auto(rgb, TINY, 24.0)
+    for f in CHECK_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(native, f)), np.asarray(getattr(bucketed, f)),
+            err_msg=f"field {f} diverges at size {size}",
+        )
+    cn = np.asarray(native.circles)[np.asarray(native.circles_valid)]
+    cb = np.asarray(bucketed.circles)[np.asarray(bucketed.circles_valid)]
+    np.testing.assert_array_equal(np.sort(cn, axis=0), np.sort(cb, axis=0))
+
+
+def test_bucket_ladder():
+    assert bucket_dim(100) == 128
+    assert bucket_dim(128) == 128
+    assert bucket_dim(129) == 160
+    assert bucket_dim(512) == 512
+    assert bucket_dim(2049) == 2560  # beyond ladder: multiples of 512
+    assert bucket_dim(5000) == 5120

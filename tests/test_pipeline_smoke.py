@@ -16,7 +16,10 @@ from img2sgf_tpu.core import to_sgf
 from img2sgf_tpu.pipeline import detect_board_batch, detect_board_jit
 
 TINY = DetectionConfig(
-    max_center_candidates=64,
+    # 256 candidate slots: this synthetic's 81 phantom grid intersections
+    # (see test_stones_classified) compete with the real stones for
+    # stage-1 slots; 64 is below what the image needs (default is 1024)
+    max_center_candidates=256,
     max_circles_per_variant=32,
     max_lines=256,
     hysteresis_iters=8,
