@@ -116,7 +116,9 @@ def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
 
     acc = jnp.zeros((H, W), jnp.float32)
     for d in range(num_bins):
-        e_d = (packed == d).astype(jnp.float32)
+        # bf16 halves the HBM traffic of the shift chains; values stay
+        # exact (P sums <= seg <= 5 ones, contrib accumulates in f32)
+        e_d = (packed == d).astype(jnp.bfloat16)
         # partial plane over the expanded domain [H+2B, W+2B]
         P = None
         for (jy, jx) in inner[d]:
@@ -128,7 +130,7 @@ def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
         contrib = None
         for (by, bx) in outer[d]:
             t = jax.lax.slice(P, (B - by, B - bx), (B - by + H, B - bx + W))
-            contrib = t if contrib is None else contrib + t
+            contrib = t.astype(jnp.float32) if contrib is None else contrib + t
         # serialise per-bin schedules to bound liveness (see below)
         acc, packed = jax.lax.optimization_barrier((acc + contrib, packed))
     return acc
