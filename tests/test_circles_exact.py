@@ -37,7 +37,7 @@ def test_exact_rescore_matches_brute_force_walk():
     sy = (np.rint(1024 * np.sin(ang)).astype(np.int32)) * emask
     ys = rng.integers(5, H - 5, 12)
     xs = rng.integers(5, W - 5, 12)
-    patch, _r, _s = exact_rescore(
+    patch = exact_rescore(
         jnp.asarray(emask), jnp.asarray(sx), jnp.asarray(sy),
         jnp.asarray(ys), jnp.asarray(xs), 1, 30, 3,
     )
