@@ -24,11 +24,8 @@ TPU-native design (static shapes, no scatter):
     integer snapping of OpenCV's own fixed-point walk.
   - Candidate extraction is top_k over the masked accumulator (vote-order
     ties break by flat index, matching OpenCV's sort).
-  - Proposals are rescored with the exact per-pixel fixed-point walk on a
-    3x3 patch (exact_rescore), then thresholded/NMS'd; only the survivors
-    (the true circle candidates, usually a small fraction of the proposal
-    budget) get radius estimation: a (2*maxR+1)^2 window gather and a
-    static one-hot distance-band matmul (MXU), scoring bins by
+  - Radius estimation gathers a (2*maxR+1)^2 window per candidate and bins
+    edge distances with a static one-hot matmul (MXU), scoring bins by
     support/radius like OpenCV's run scan.
   - The greedy minDist pass is a tiny fori_loop over the top-K candidates.
 """
@@ -281,6 +278,22 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
     ).reshape(-1)
     rhat_inner = rhat[inner_flat_np]
 
+    # Radius-band tables for ALL 9 possible recentred positions, fused into
+    # one [win^2, 9*nb] one-hot so radius estimation shares the window
+    # gathers with the vote rescore AND is computed at the recentred centre
+    # (the radius histogram is position-sensitive: a 1 px shift moves edge
+    # pixels across 0.5 px bands and changes the support count).
+    oh_list, dh_list = [], []
+    n_bands = None
+    for cdy in (-1, 0, 1):
+        for cdx in (-1, 0, 1):
+            oh, dist, _, nb = _radius_tables(min_r, max_r, ext, cdy, cdx)
+            n_bands = nb
+            oh_list.append(oh)
+            dh_list.append(dist[:, None] * oh)
+    band_onehot = jnp.asarray(np.concatenate(oh_list, axis=1))   # [W2, 9*nb]
+    band_distoh = jnp.asarray(np.concatenate(dh_list, axis=1))
+
     def windows(y, x):
         # padded index (y + half) puts the window at unpadded rows y - ext
         p = jax.lax.dynamic_slice(pk, (y + half, x + half), (win, win)).reshape(-1)
@@ -354,7 +367,16 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
             )
             for c in range(9)
         ]
-        return jnp.stack(score, axis=1)
+        # fused radius estimate (same window), per recentred patch cell:
+        # most-supported distance band at each of the 9 centres (MXU)
+        counts = (e @ band_onehot).reshape(-1, 9, n_bands)
+        dsums = (e @ band_distoh).reshape(-1, 9, n_bands)
+        r_rep = jnp.where(counts > 0, dsums / jnp.maximum(counts, 1.0), 1.0)
+        rscore = jnp.where(counts > 0, counts / r_rep, -1.0)
+        best = jnp.argmax(rscore, axis=2)
+        r_best = jnp.take_along_axis(r_rep, best[:, :, None], 2)[:, :, 0]
+        support = jnp.take_along_axis(counts, best[:, :, None], 2)[:, :, 0]
+        return jnp.stack(score, axis=1), r_best, support
 
     # chunk the candidate axis: window gathers for every candidate at once
     # would hold K*win^2 live per array (OOM at batch scale)
@@ -375,17 +397,25 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
     def maybe_chunk(args):
         cy, cx, any_valid = args
         nc = cy.shape[0]
-        zeros = jnp.zeros((nc, cells * cells), jnp.float32)
+        zeros = (
+            jnp.zeros((nc, cells * cells), jnp.float32),
+            jnp.zeros((nc, 9), jnp.float32),
+            jnp.zeros((nc, 9), jnp.float32),
+        )
         return jax.lax.cond(
             any_valid, lambda: score_chunk((cy, cx)), lambda: zeros
         )
 
     chunk_valid = jnp.any(valid.reshape(-1, C), axis=1)
-    score = jax.lax.map(
+    score, r_best, support = jax.lax.map(
         maybe_chunk, (ys.reshape(-1, C), xs.reshape(-1, C), chunk_valid)
     )
     score = score.reshape(-1, cells * cells)[:K]
-    return score.reshape(K, cells, cells)
+    return (
+        score.reshape(K, cells, cells),
+        r_best.reshape(-1, 9)[:K],    # per recentred patch cell
+        support.reshape(-1, 9)[:K],
+    )
 
 
 @functools.lru_cache(maxsize=128)
@@ -419,13 +449,9 @@ def _radius_tables(min_r: int, max_r: int, ext: int | None = None,
 
 
 def estimate_radii(edge_mask, ys, xs, min_r: int, max_r: int,
-                   acc_threshold: float, valid=None):
+                   acc_threshold: float):
     """Most-supported radius per candidate centre (OpenCV's run scan,
     approximated with unit-width distance bins scored by support/radius).
-
-    ys/xs are the (recentred) accumulator cells; the distance histogram is
-    measured from cell + 0.5 like OpenCV. With `valid` a prefix-sorted mask,
-    whole all-invalid trailing chunks are skipped (lax.cond inside lax.map).
 
     Returns (r_best [K] f32, supported [K] bool).
     """
@@ -445,36 +471,21 @@ def estimate_radii(edge_mask, ys, xs, min_r: int, max_r: int,
         # small and replaces on >=, so the smallest-r max-score run wins;
         # argmax's first-occurrence rule does the same on ascending bands
         best = jnp.argmax(score)
-        return r_rep[best], counts[best]
+        return r_rep[best], counts[best] > acc_threshold
 
     # chunk the candidate axis (same OOM concern as exact_rescore)
     K = ys.shape[0]
     C = min(32, K)
     ys_p, xs_p = ys, xs
-    if valid is None:
-        valid_p = jnp.ones((K,), jnp.bool_)
-    else:
-        valid_p = valid
     if K % C:
         padn = C - K % C
         ys_p = jnp.concatenate([ys, jnp.zeros((padn,), ys.dtype)])
         xs_p = jnp.concatenate([xs, jnp.zeros((padn,), xs.dtype)])
-        valid_p = jnp.concatenate([valid_p, jnp.zeros((padn,), jnp.bool_)])
-
-    def maybe_chunk(args):
-        cy, cx, any_valid = args
-        nc = cy.shape[0]
-        zeros = (jnp.ones((nc,), jnp.float32), jnp.zeros((nc,), jnp.float32))
-        return jax.lax.cond(
-            any_valid, lambda: jax.vmap(one)(cy, cx), lambda: zeros
-        )
-
-    chunk_valid = jnp.any(valid_p.reshape(-1, C), axis=1)
-    r_best, support = jax.lax.map(
-        maybe_chunk,
-        (ys_p.reshape(-1, C), xs_p.reshape(-1, C), chunk_valid),
+    r_best, supported = jax.lax.map(
+        lambda a: jax.vmap(one)(a[0], a[1]),
+        (ys_p.reshape(-1, C), xs_p.reshape(-1, C)),
     )
-    return r_best.reshape(-1)[:K], support.reshape(-1)[:K] > acc_threshold
+    return r_best.reshape(-1)[:K], supported.reshape(-1)[:K]
 
 
 def greedy_min_dist(ys, xs, valid, supported, min_dist: float):
@@ -487,14 +498,19 @@ def greedy_min_dist(ys, xs, valid, supported, min_dist: float):
     md2 = min_dist * min_dist
     fy = ys.astype(jnp.float32)
     fx = xs.astype(jnp.float32)
+    # the loop is inherently sequential, but positions beyond the last
+    # valid candidate can never flip; stop there (dynamic bound — valid
+    # candidates are not necessarily a prefix after the vote sort)
+    K_i = jnp.arange(K)
+    n_live = jnp.max(jnp.where(valid, K_i, -1)) + 1
 
     def body(i, accepted):
         d2 = (fy - fy[i]) ** 2 + (fx - fx[i]) ** 2
-        clash = jnp.any(accepted & (jnp.arange(K) < i) & (d2 < md2))
+        clash = jnp.any(accepted & (K_i < i) & (d2 < md2))
         ok = valid[i] & supported[i] & jnp.logical_not(clash)
         return accepted.at[i].set(ok)
 
-    return jax.lax.fori_loop(0, K, body, jnp.zeros((K,), jnp.bool_))
+    return jax.lax.fori_loop(0, n_live, body, jnp.zeros((K,), jnp.bool_))
 
 
 def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
@@ -535,13 +551,16 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
     sx, sy = pixel_steps(dx, dy)
     sx = jnp.where(emask, sx, 0)
     sy = jnp.where(emask, sy, 0)
-    patch = exact_rescore(
+    patch, r_best, support = exact_rescore(
         emask, sx, sy, ys_c, xs_c, min_r, max_r, cells=3, valid=valid
     )
     flat = patch.reshape(patch.shape[0], -1)
     best_cell = jnp.argmax(flat, axis=1)
     exact_votes = jnp.take_along_axis(flat, best_cell[:, None], axis=1)[:, 0]
     py, px = best_cell // 3, best_cell % 3
+    # radius estimate at the recentred position (patch cell argmax)
+    r_best = jnp.take_along_axis(r_best, best_cell[:, None], axis=1)[:, 0]
+    support = jnp.take_along_axis(support, best_cell[:, None], axis=1)[:, 0]
 
     # OpenCV's NMS pattern on the exact votes, where the patch shows the
     # neighbour: > left, >= right, > up, >= down (out-of-patch passes)
@@ -562,22 +581,12 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
     xs_c = jnp.clip(xs_c + px - 1, 0, W - 1)
     valid = valid & (exact_votes > acc_threshold) & nms_ok
 
-    # order by exact votes (desc, ties by y-major flat index like OpenCV's
-    # sort), with survivors compacted to a prefix: the radius pass below
-    # then skips every all-dead chunk — survivors are the true circle
-    # candidates, typically a small fraction of the stage-1 proposals
-    order = jnp.lexsort(
-        (ys_c * W + xs_c, -exact_votes.astype(jnp.int32),
-         jnp.logical_not(valid))
-    )
+    # dedup recentred duplicates and order by exact votes (desc, ties by
+    # y-major flat index like OpenCV's sort), then greedy minDist
+    order = jnp.lexsort((ys_c * W + xs_c, -exact_votes.astype(jnp.int32)))
     ys_c, xs_c, valid = ys_c[order], xs_c[order], valid[order]
-
-    # radius estimation only for survivors, at the recentred centre (the
-    # distance histogram is position-sensitive: a 1 px shift moves edge
-    # pixels across 0.5 px bands and changes the support count)
-    r_best, supported = estimate_radii(
-        emask, ys_c, xs_c, min_r, max_r, acc_threshold, valid=valid
-    )
+    r_best = r_best[order]
+    supported = support[order] > acc_threshold
     accepted = greedy_min_dist(ys_c, xs_c, valid, supported, min_dist)
 
     # compact accepted circles into the first max_out slots

@@ -37,7 +37,7 @@ def test_exact_rescore_matches_brute_force_walk():
     sy = (np.rint(1024 * np.sin(ang)).astype(np.int32)) * emask
     ys = rng.integers(5, H - 5, 12)
     xs = rng.integers(5, W - 5, 12)
-    patch = exact_rescore(
+    patch, _r, _s = exact_rescore(
         jnp.asarray(emask), jnp.asarray(sx), jnp.asarray(sy),
         jnp.asarray(ys), jnp.asarray(xs), 1, 30, 3,
     )
@@ -45,3 +45,36 @@ def test_exact_rescore_matches_brute_force_walk():
     for i in range(12):
         want = _brute(emask, sx, sy, int(ys[i]), int(xs[i]), 1, 30)
         np.testing.assert_array_equal(got[i], want, err_msg=f"candidate {i}")
+
+
+def test_pallas_rescore_matches_xla(monkeypatch):
+    """Interpret-mode Pallas rescore == XLA exact_rescore, bit for bit."""
+    from img2sgf_tpu.hough.rescore_pallas import exact_rescore_pallas
+
+    rng = np.random.default_rng(11)
+    H = W = 96
+    K = 32
+    emask = rng.random((H, W)) < 0.10
+    ang = rng.uniform(0, 2 * np.pi, (H, W))
+    sx = (np.rint(1024 * np.cos(ang)).astype(np.int32)) * emask
+    sy = (np.rint(1024 * np.sin(ang)).astype(np.int32)) * emask
+    ys = rng.integers(0, H, K)  # include border candidates
+    xs = rng.integers(0, W, K)
+    valid = np.ones(K, bool)
+    valid[-7:] = False  # prefix-valid with dead tail
+
+    want = np.asarray(
+        exact_rescore(
+            jnp.asarray(emask), jnp.asarray(sx), jnp.asarray(sy),
+            jnp.asarray(ys), jnp.asarray(xs), 1, 30, 3,
+            valid=jnp.asarray(valid),
+        )[0]
+    )
+    got = np.asarray(
+        exact_rescore_pallas(
+            jnp.asarray(emask), jnp.asarray(sx), jnp.asarray(sy),
+            jnp.asarray(ys), jnp.asarray(xs), 1, 30,
+            valid=jnp.asarray(valid), chunk=8, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got[valid], want[valid])

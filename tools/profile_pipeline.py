@@ -63,8 +63,14 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     cfg = DetectionConfig()
     rng = np.random.default_rng(0)
-    rgb = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)), jnp.uint8)
-    grey8 = jnp.asarray(rng.integers(0, 256, (batch, size, size)), jnp.uint8)
+    if os.environ.get("IMG2SGF_PROFILE_NOISE"):
+        rgb = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)), jnp.uint8)
+    else:
+        # realistic synthetic Go diagrams (same generator as bench.py)
+        import bench
+
+        rgb = jnp.asarray(bench.make_batch(batch, size))
+    grey8 = rgb[..., 0]
     print(f"backend={jax.default_backend()} size={size} batch={batch}")
 
     B = jax.vmap
