@@ -3,6 +3,10 @@
 Mirrors the reference's argv semantics (img2sgf.py:1256-1269): arg1 is the
 input image, arg2 the output SGF (default: input stem + .sgf). Unlike the
 reference it runs without a GUI; pass --gui to open the editor instead.
+
+Batch serving mode: python -m img2sgf_tpu --batch 'scans/*.jpg' -o out/
+[--batch-size N] — groups mixed-size images by canvas bucket and converts
+them through the vmapped bucketed pipeline (one compile per bucket).
 """
 
 from __future__ import annotations
@@ -71,11 +75,109 @@ def run_headless(input_path: str, output_path: str | None, verbose: bool = True)
     return 0
 
 
+def run_batch(inputs, outdir: str | None, batch_size: int = 16,
+              verbose: bool = True) -> int:
+    """Serving path: convert many images with one compiled program per
+    canvas bucket, batching same-bucket images together.
+
+    Mixed native sizes are grouped by bucket_dim canvas, padded top-left,
+    and run through the vmapped bucketed pipeline (per-image content
+    dims/thresholds ride as traced scalars, so results match native-size
+    detection exactly).
+    """
+    import glob as globmod
+    import time
+
+    _enable_compile_cache()
+    import jax.numpy as jnp
+
+    from .config import DetectionConfig, choose_line_threshold
+    from .core import to_sgf
+    from .hostio import load_rgb
+    from .pipeline import bucket_dim, detect_board_bucket_batch
+
+    files: list[str] = []
+    for pat in inputs:
+        hits = sorted(globmod.glob(pat))
+        files.extend(hits if hits else [pat])
+    if not files:
+        print("No input images.", file=sys.stderr)
+        return 1
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+
+    cfg = DetectionConfig()
+    # load host-side and group by canvas bucket
+    groups: dict[tuple[int, int], list[tuple[str, np.ndarray]]] = {}
+    for path in files:
+        try:
+            rgb = load_rgb(path)
+        except (OSError, ValueError) as e:
+            print(f"Error opening file {path}:\n{e}", file=sys.stderr)
+            continue
+        key = (bucket_dim(rgb.shape[0]), bucket_dim(rgb.shape[1]))
+        groups.setdefault(key, []).append((path, rgb))
+
+    n_ok = n_fail = 0
+    t0 = time.perf_counter()
+    for (hb, wb), items in sorted(groups.items()):
+        for start in range(0, len(items), batch_size):
+            chunk = items[start : start + batch_size]
+            B = len(chunk)
+            canvases = np.zeros((B, hb, wb, 3), np.uint8)
+            hs = np.zeros((B,), np.int32)
+            ws = np.zeros((B,), np.int32)
+            ths = np.zeros((B,), np.float32)
+            for i, (_, rgb) in enumerate(chunk):
+                h, w = rgb.shape[:2]
+                canvases[i, :h, :w] = rgb
+                hs[i], ws[i] = h, w
+                ths[i] = choose_line_threshold(h, w)
+            res = detect_board_bucket_batch(
+                jnp.asarray(canvases), cfg, jnp.asarray(ths),
+                jnp.asarray(hs), jnp.asarray(ws),
+            )
+            ready = np.asarray(res.board_ready)
+            boards = np.asarray(res.full_board)
+            sides = np.asarray(res.side_to_move)
+            for i, (path, _) in enumerate(chunk):
+                stem = os.path.splitext(os.path.basename(path))[0]
+                out = (os.path.join(outdir, stem + ".sgf") if outdir
+                       else os.path.splitext(path)[0] + ".sgf")
+                if not ready[i]:
+                    n_fail += 1
+                    if verbose:
+                        print(f"{path}: board not detected")
+                    continue
+                with open(out, "w") as f:
+                    f.write(to_sgf(boards[i], side_to_move=int(sides[i])))
+                n_ok += 1
+                if verbose:
+                    print(f"{path} -> {out}")
+    dt = time.perf_counter() - t0
+    print(f"{n_ok} converted, {n_fail} not detected, "
+          f"{len(files)} files in {dt:.1f}s ({len(files) / dt:.1f} img/s)")
+    return 0 if n_ok else 1
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     use_gui = "--gui" in argv
     if use_gui:
         argv.remove("--gui")
+    if "--batch" in argv:
+        argv.remove("--batch")
+        outdir = None
+        if "-o" in argv:
+            i = argv.index("-o")
+            outdir = argv[i + 1]
+            del argv[i : i + 2]
+        bs = 16
+        if "--batch-size" in argv:
+            i = argv.index("--batch-size")
+            bs = int(argv[i + 1])
+            del argv[i : i + 2]
+        return run_batch(argv, outdir, batch_size=bs)
     if len(argv) > 2:
         sys.exit("Too many command line arguments.")
     input_path = argv[0] if len(argv) > 0 else None

@@ -4,6 +4,7 @@ from .detect import (
     detect_board,
     detect_board_auto,
     detect_board_batch,
+    detect_board_bucket_batch,
     detect_board_jit,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "detect_board",
     "detect_board_auto",
     "detect_board_batch",
+    "detect_board_bucket_batch",
     "detect_board_jit",
 ]

@@ -116,8 +116,22 @@ def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold,
             hw=hw,
         )
 
+    # Dedupe identical pyramid planes: cv.medianBlur / cv.GaussianBlur at
+    # ksize 1 are identities (img2sgf.py:174-175 with k=1), so variants 2
+    # and 3 equal variant 0 (grey). Detection is a deterministic function
+    # of the plane, so run unique planes once and replicate the outputs —
+    # bit-identical to the reference's 10 runs at 8/10 of the work.
+    V = variants.shape[0]
+    if cfg.maxblur >= 0 and V >= 4:
+        keep = [0, 1] + list(range(4, V))
+        expand = [0, 1, 0, 0] + list(range(2, 2 + V - 4))
+    else:
+        keep = list(range(V))
+        expand = keep
     with jax.named_scope("hough_circles"):
-        vcircles, vvalid = jax.vmap(per_variant)(variants)
+        vcircles_u, vvalid_u = jax.vmap(per_variant)(variants[jnp.asarray(keep)])
+    vcircles = vcircles_u[jnp.asarray(expand)]
+    vvalid = vvalid_u[jnp.asarray(expand)]
     circles = vcircles.reshape(-1, 3)
     circles_valid = vvalid.reshape(-1)
 
@@ -248,3 +262,14 @@ def detect_board_batch(rgb_u8_batch, cfg: DetectionConfig, line_thresholds):
     return jax.vmap(lambda im, t: detect_board(im, cfg, t))(
         rgb_u8_batch, line_thresholds
     )
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def detect_board_bucket_batch(canvases, cfg: DetectionConfig, line_thresholds,
+                              hs, ws):
+    """Batched shape-bucketed pipeline: [B, Hc, Wc, 3] canvases whose
+    top-left [hs[i], ws[i]] blocks are the real images (mixed native sizes
+    share one compiled program per canvas bucket — the serving path)."""
+    return jax.vmap(
+        lambda im, t, h, w: detect_board(im, cfg, t, content_hw=(h, w))
+    )(canvases, line_thresholds, hs, ws)

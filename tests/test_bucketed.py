@@ -62,3 +62,38 @@ def test_bucket_ladder():
     assert bucket_dim(512) == 512
     assert bucket_dim(2049) == 2560  # beyond ladder: multiples of 512
     assert bucket_dim(5000) == 5120
+
+
+def test_bucket_batch_matches_single():
+    """The batched bucketed entry (serving path) == per-image bucketed runs:
+    two different native sizes sharing one canvas bucket."""
+    from img2sgf_tpu.pipeline import detect_board_bucket_batch
+
+    specs = [
+        (147, 7, ((1, 2, 0), (3, 3, 255))),
+        (155, 7, ((2, 2, 0), (4, 3, 255))),
+    ]
+    imgs = [synth_board(size=s, n=n, stones=st) for s, n, st in specs]
+    hb = max(bucket_dim(im.shape[0]) for im in imgs)
+    wb = max(bucket_dim(im.shape[1]) for im in imgs)
+    B = len(imgs)
+    canvases = np.zeros((B, hb, wb, 3), np.uint8)
+    hs = np.zeros((B,), np.int32)
+    ws = np.zeros((B,), np.int32)
+    for i, im in enumerate(imgs):
+        canvases[i, : im.shape[0], : im.shape[1]] = im
+        hs[i], ws[i] = im.shape[:2]
+    ths = np.full((B,), 24.0, np.float32)
+    batch = detect_board_bucket_batch(
+        jnp.asarray(canvases), TINY, jnp.asarray(ths), jnp.asarray(hs),
+        jnp.asarray(ws),
+    )
+    for i, im in enumerate(imgs):
+        single = detect_board_auto(im, TINY, 24.0)
+        for f in ("full_board", "board_ready", "hsize", "vsize",
+                  "num_black", "num_white", "side_to_move"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(batch, f))[i],
+                np.asarray(getattr(single, f)),
+                err_msg=f"{f} image {i}",
+            )

@@ -69,3 +69,28 @@ def test_graft_entry_dryrun():
     jax.block_until_ready(out.full_board)
     assert out.full_board.shape == (19, 19)
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_multihost_feed_single_process():
+    """Multi-host feed helpers degenerate correctly on one process: the
+    file slice is everything, and the assembled global batch is sharded
+    batch-major over the mesh with the right contents."""
+    import numpy as np
+    import jax
+    from img2sgf_tpu.parallel import (
+        data_mesh, local_file_slice, make_global_batch,
+    )
+
+    files = [f"f{i}.jpg" for i in range(16)]
+    assert local_file_slice(files, 0, 1) == files
+    # two-host split: contiguous halves
+    assert local_file_slice(files, 0, 2) == files[:8]
+    assert local_file_slice(files, 1, 2) == files[8:]
+
+    mesh = data_mesh(jax.devices())
+    local = np.arange(8 * 4 * 4 * 3, dtype=np.uint8).reshape(8, 4, 4, 3)
+    g = make_global_batch(mesh, local)
+    assert g.shape == local.shape
+    np.testing.assert_array_equal(np.asarray(g), local)
+    # batch axis is sharded over all devices
+    assert len(g.sharding.device_set) == len(jax.devices())
