@@ -223,7 +223,7 @@ def pixel_steps(dx, dy):
 
 
 def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
-                  cells: int = 3, valid=None):
+                  cells: int = 3, valid=None, with_radius: bool = True):
     """Exact OpenCV accumulator votes on a (cells x cells) patch around each
     candidate centre.
 
@@ -283,16 +283,17 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
     # gathers with the vote rescore AND is computed at the recentred centre
     # (the radius histogram is position-sensitive: a 1 px shift moves edge
     # pixels across 0.5 px bands and changes the support count).
-    oh_list, dh_list = [], []
-    n_bands = None
-    for cdy in (-1, 0, 1):
-        for cdx in (-1, 0, 1):
-            oh, dist, _, nb = _radius_tables(min_r, max_r, ext, cdy, cdx)
-            n_bands = nb
-            oh_list.append(oh)
-            dh_list.append(dist[:, None] * oh)
-    band_onehot = jnp.asarray(np.concatenate(oh_list, axis=1))   # [W2, 9*nb]
-    band_distoh = jnp.asarray(np.concatenate(dh_list, axis=1))
+    if with_radius:
+        oh_list, dh_list = [], []
+        n_bands = None
+        for cdy in (-1, 0, 1):
+            for cdx in (-1, 0, 1):
+                oh, dist, _, nb = _radius_tables(min_r, max_r, ext, cdy, cdx)
+                n_bands = nb
+                oh_list.append(oh)
+                dh_list.append(dist[:, None] * oh)
+        band_onehot = jnp.asarray(np.concatenate(oh_list, axis=1))  # [W2, 9*nb]
+        band_distoh = jnp.asarray(np.concatenate(dh_list, axis=1))
 
     def windows(y, x):
         # padded index (y + half) puts the window at unpadded rows y - ext
@@ -367,6 +368,9 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
             )
             for c in range(9)
         ]
+        if not with_radius:
+            z = jnp.zeros((e.shape[0], 9), jnp.float32)
+            return jnp.stack(score, axis=1), z, z
         # fused radius estimate (same window), per recentred patch cell:
         # most-supported distance band at each of the 9 centres (MXU)
         counts = (e @ band_onehot).reshape(-1, 9, n_bands)
@@ -513,16 +517,14 @@ def greedy_min_dist(ys, xs, valid, supported, min_dist: float):
     return jax.lax.fori_loop(0, n_live, body, jnp.zeros((K,), jnp.bool_))
 
 
-def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
-                           min_dist: float, min_r: int, max_r: int,
-                           num_bins: int, top_k: int, max_out: int,
-                           hysteresis_iters: int = 24, hw=None):
-    """Full HOUGH_GRADIENT on one [H, W] uint8 image.
+def circle_propose(img_u8, canny_high: float, acc_threshold: float,
+                   min_r: int, max_r: int, num_bins: int, top_k: int,
+                   hysteresis_iters: int = 24, hw=None):
+    """Stage 1: edges + gradient steps + approximate-accumulator proposals.
 
-    Returns (circles [max_out, 3] f32 as (cx, cy, r), valid [max_out] bool).
-    Centres carry OpenCV's +0.5 px offset. hw=(h, w): content dims inside a
-    fixed canvas (shape-bucketed mode) — edges are confined to the content
-    block, candidate NMS scans its interior, and results match native size.
+    Returns dict(emask, sx, sy, ys, xs, valid). A lower threshold (0.5x)
+    compensates for direction quantization spreading votes off the true
+    peak cell; stage 2 restores exact OpenCV vote counts.
     """
     H, W = img_u8.shape
     if hw is not None:
@@ -536,31 +538,47 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
                   iters=hysteresis_iters, hw=hw)
     emask = (edges > 0) & ((dx != 0) | (dy != 0))
 
-    # stage 1: approximate accumulator (direction-binned) proposes peaks.
-    # A lower threshold compensates for quantization spreading votes off
-    # the true peak cell; stage 2 restores exact OpenCV vote counts.
     acc = vote_accumulator(emask, dx, dy, num_bins, min_r, max_r)
     # 0.5x: margin for direction-quantization + cascade rounding smear;
     # stage 2 restores exact votes so extra proposals only cost rescore work
     ys, xs, votes, valid = centre_candidates(acc, 0.5 * acc_threshold, top_k, hw=hw)
-    ys_c = jnp.clip(ys, 0, H - 1)
-    xs_c = jnp.clip(xs, 0, W - 1)
-
-    # stage 2: exact per-pixel fixed-point walk votes on a 3x3 patch around
-    # each proposal; recentre on the patch argmax and threshold exactly.
     sx, sy = pixel_steps(dx, dy)
-    sx = jnp.where(emask, sx, 0)
-    sy = jnp.where(emask, sy, 0)
-    patch, r_best, support = exact_rescore(
-        emask, sx, sy, ys_c, xs_c, min_r, max_r, cells=3, valid=valid
+    return dict(
+        emask=emask,
+        sx=jnp.where(emask, sx, 0),
+        sy=jnp.where(emask, sy, 0),
+        ys=jnp.clip(ys, 0, H - 1),
+        xs=jnp.clip(xs, 0, W - 1),
+        valid=valid,
     )
+
+
+def circle_votes(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
+                 use_pallas: bool = False):
+    """Stage 2a: exact OpenCV accumulator votes on the 3x3 patch around
+    each proposal. patch [K, 3, 3] f32."""
+    if use_pallas:
+        from .rescore_pallas import exact_rescore_pallas
+
+        return exact_rescore_pallas(emask, sx, sy, ys, xs, min_r, max_r,
+                                    valid=valid)
+    patch, _r, _s = exact_rescore(
+        emask, sx, sy, ys, xs, min_r, max_r, cells=3, valid=valid,
+        with_radius=False,
+    )
+    return patch
+
+
+def circle_recentre(patch, ys, xs, valid, acc_threshold: float, H: int, W: int):
+    """Stage 2b: recentre on the patch argmax, OpenCV NMS + exact
+    threshold, sort by exact votes (desc, ties by y-major flat index).
+
+    Returns (ys_c, xs_c, exact_votes, valid2), all vote-order sorted.
+    """
     flat = patch.reshape(patch.shape[0], -1)
     best_cell = jnp.argmax(flat, axis=1)
     exact_votes = jnp.take_along_axis(flat, best_cell[:, None], axis=1)[:, 0]
     py, px = best_cell // 3, best_cell % 3
-    # radius estimate at the recentred position (patch cell argmax)
-    r_best = jnp.take_along_axis(r_best, best_cell[:, None], axis=1)[:, 0]
-    support = jnp.take_along_axis(support, best_cell[:, None], axis=1)[:, 0]
 
     # OpenCV's NMS pattern on the exact votes, where the patch shows the
     # neighbour: > left, >= right, > up, >= down (out-of-patch passes)
@@ -577,19 +595,89 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
         & (exact_votes > nbr(-1, 0, -1.0))
         & (exact_votes >= nbr(1, 0, -1.0))
     )
-    ys_c = jnp.clip(ys_c + py - 1, 0, H - 1)
-    xs_c = jnp.clip(xs_c + px - 1, 0, W - 1)
-    valid = valid & (exact_votes > acc_threshold) & nms_ok
-
-    # dedup recentred duplicates and order by exact votes (desc, ties by
-    # y-major flat index like OpenCV's sort), then greedy minDist
+    ys_c = jnp.clip(ys + py - 1, 0, H - 1)
+    xs_c = jnp.clip(xs + px - 1, 0, W - 1)
+    valid2 = valid & (exact_votes > acc_threshold) & nms_ok
     order = jnp.lexsort((ys_c * W + xs_c, -exact_votes.astype(jnp.int32)))
-    ys_c, xs_c, valid = ys_c[order], xs_c[order], valid[order]
-    r_best = r_best[order]
-    supported = support[order] > acc_threshold
-    accepted = greedy_min_dist(ys_c, xs_c, valid, supported, min_dist)
+    return ys_c[order], xs_c[order], exact_votes[order], valid2[order]
 
-    # compact accepted circles into the first max_out slots
+
+def radius_support_pool(emask_planes, ys, xs, want, min_r: int, max_r: int,
+                        chunk: int = 64):
+    """Radius estimate + band support at given centres, for a POOL of
+    planes — cost proportional to the number of `want` candidates.
+
+    emask_planes [P, H, W] bool; ys/xs/want [P, K]. The pool is flattened,
+    sorted want-first, and processed in chunks under lax.map whose per-
+    chunk lax.cond skips all-dead chunks. This only branches for real when
+    the caller is NOT inside a vmap (vmap lowers cond to select) — which
+    is exactly how detect_board/_batch call it (the pool axis IS the
+    batch x variant axis, outside any vmap).
+
+    Radius semantics match exact_rescore's fused estimate at the recentred
+    cell: same _radius_tables bands, distances measured from the centre
+    +0.5, ties to the smaller radius. Returns (r_best [P, K] f32,
+    support [P, K] f32), zeros where not wanted.
+    """
+    P, H, W = emask_planes.shape
+    K = ys.shape[1]
+    N = P * K
+    onehot_np, dist_np, win, nb = _radius_tables(min_r, max_r)
+    onehot = jnp.asarray(onehot_np)
+    distoh = jnp.asarray(dist_np[:, None] * onehot_np)
+    pad = max_r
+    ep = jnp.pad(emask_planes.astype(jnp.float32),
+                 ((0, 0), (pad, pad), (pad, pad)))
+
+    want_f = want.reshape(-1)
+    order = jnp.argsort(jnp.logical_not(want_f), stable=True)
+    gy = ys.reshape(-1)[order]
+    gx = xs.reshape(-1)[order]
+    gp = (order // K).astype(jnp.int32)
+    gw = want_f[order]
+
+    C = min(chunk, N)
+    assert N % C == 0, "pool size must divide the chunk"
+
+    def one(p, y, x):
+        w = jax.lax.dynamic_slice(ep, (p, y, x), (1, win, win)).reshape(-1)
+        counts = w @ onehot  # [nb]
+        dsums = w @ distoh
+        r_rep = jnp.where(counts > 0, dsums / jnp.maximum(counts, 1.0), 1.0)
+        score = jnp.where(counts > 0, counts / r_rep, -1.0)
+        # ties favour the smaller radius (OpenCV's >= replace on a large-
+        # to-small run scan == argmax first-occurrence on ascending bands)
+        best = jnp.argmax(score)
+        return r_rep[best], counts[best]
+
+    def maybe_chunk(args):
+        cp, cy, cx, any_want = args
+        zeros = (jnp.zeros((C,), jnp.float32), jnp.zeros((C,), jnp.float32))
+        return jax.lax.cond(
+            any_want, lambda: jax.vmap(one)(cp, cy, cx), lambda: zeros
+        )
+
+    chunk_want = jnp.any(gw.reshape(-1, C), axis=1)
+    r_s, s_s = jax.lax.map(
+        maybe_chunk,
+        (gp.reshape(-1, C), gy.reshape(-1, C), gx.reshape(-1, C), chunk_want),
+    )
+    inv = jnp.argsort(order)
+    r_best = r_s.reshape(-1)[inv].reshape(P, K)
+    support = s_s.reshape(-1)[inv].reshape(P, K)
+    zero = jnp.zeros((), jnp.float32)
+    return (jnp.where(want, r_best, zero), jnp.where(want, support, zero))
+
+
+def circle_finalize(ys_c, xs_c, valid2, r_best, support, acc_threshold: float,
+                    min_dist: float, max_out: int):
+    """Stage 3: greedy minDist acceptance in vote order + compaction.
+
+    Returns (circles [max_out, 3] f32 as (cx, cy, r) with OpenCV's +0.5 px
+    centre offset, valid [max_out] bool).
+    """
+    supported = support > acc_threshold
+    accepted = greedy_min_dist(ys_c, xs_c, valid2, supported, min_dist)
     order = jnp.argsort(jnp.logical_not(accepted), stable=True)[:max_out]
     out_valid = accepted[order]
     cx = xs_c[order].astype(jnp.float32) + 0.5
@@ -598,3 +686,30 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
     circles = jnp.stack([cx, cy, rr], axis=1)
     circles = jnp.where(out_valid[:, None], circles, 0.0)
     return circles, out_valid
+
+
+def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
+                           min_dist: float, min_r: int, max_r: int,
+                           num_bins: int, top_k: int, max_out: int,
+                           hysteresis_iters: int = 24, hw=None,
+                           use_pallas: bool = False):
+    """Full HOUGH_GRADIENT on one [H, W] uint8 image (stage composition).
+
+    Returns (circles [max_out, 3] f32 as (cx, cy, r), valid [max_out] bool).
+    Centres carry OpenCV's +0.5 px offset. hw=(h, w): content dims inside a
+    fixed canvas (shape-bucketed mode) — edges are confined to the content
+    block, candidate NMS scans its interior, and results match native size.
+    """
+    H, W = img_u8.shape
+    st = circle_propose(img_u8, canny_high, acc_threshold, min_r, max_r,
+                        num_bins, top_k, hysteresis_iters, hw=hw)
+    patch = circle_votes(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"],
+                         st["valid"], min_r, max_r, use_pallas=use_pallas)
+    ys_c, xs_c, votes, valid2 = circle_recentre(
+        patch, st["ys"], st["xs"], st["valid"], acc_threshold, H, W
+    )
+    r_best, support = radius_support_pool(
+        st["emask"][None], ys_c[None], xs_c[None], valid2[None], min_r, max_r
+    )
+    return circle_finalize(ys_c, xs_c, valid2, r_best[0], support[0],
+                           acc_threshold, min_dist, max_out)

@@ -1,23 +1,32 @@
 """Exact-vote rescore as a VMEM-resident Pallas TPU kernel.
 
 The XLA exact_rescore is gather-bound: every candidate's (2*(maxR+3)+1)^2
-window is fetched from HBM via dynamic_slice (~41 ms for a full 10x1024
-candidate budget at 512x512 — 100x off HBM speed-of-light, dominated by
-short strided reads). Here the packed (edge | sx | sy) plane lives in VMEM
-once per variant and each candidate reads an aligned [80, 256] block of it
-directly — no HBM traffic per candidate at all.
+window is fetched from HBM via dynamic_slice at ~4.4 us per slice
+regardless of locality or formulation (measured: plain/two-step/row-take/
+aligned slicing all ~45 ms for a 10x1024 budget at 512x512). Here the
+packed (edge | sx | sy) plane lives in VMEM once per variant and each
+candidate reads an aligned [80, 256] block of it directly.
 
-Vote semantics are bit-identical to circles.exact_rescore (the same
-per-pixel fixed-point walk, radius pruning |r - rhat| <= 3, and
-toward-sign main pass + central away pass — see the proof in circles.py),
-verified in tests/test_circles_exact.py.
+v2 kernel (this file): the block is rotated with `pltpu.roll` so the
+candidate's 67x67 window starts at (0, 0), which
+  * halves the vector width of the walk ([80, 128] instead of [80, 256]),
+  * makes every geometric table STATIC (centre offsets, rhat, radius band
+    masks, window mask) instead of per-candidate vector math,
+  * turns the per-radius products into incremental adds
+    (r+1)*s = r*s + s, in int32 (the >> 10 arithmetic shift IS OpenCV's
+    fixed-point floor),
+  * packs all 9 patch-cell counters into one int32 (3 bits per cell; the
+    7-step main walk puts at most 7 votes in a cell per pixel),
+  * runs the opposite-sign "away" pass unconditionally on a static
+    [16, 128] row slab around the centre (the only place it can land —
+    see the pruning proof in circles.exact_rescore) instead of branching.
 
-Status: experimental, not wired into the pipeline. Measured on v5e at
-512x512: 72 ms for a full 10x1024 candidate budget (vs 66 ms XLA) but
-2.5x faster at partial validity (40 ms vs 99 ms at n=256). In the fused
-detect_board program the XLA gather path still wins end-to-end (14.4 vs
-13.0 img/s at batch 32) because XLA overlaps its gather latencies with
-other stages; revisit if the rescore is ever run standalone.
+Vote semantics are bit-identical to circles.exact_rescore (same per-pixel
+fixed-point walk, radius pruning |r - rhat| <= 3, toward-sign main pass +
+central away pass), verified in tests/test_circles_exact.py.
+
+Reference behaviour being reproduced: the accumulator votes of
+cv.HoughCircles(HOUGH_GRADIENT) as called at /root/reference/img2sgf.py:180.
 """
 
 from __future__ import annotations
@@ -30,10 +39,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # block each candidate reads: rows cover the 67-px window at 8-aligned
-# starts (67 + 7 slack <= 80), lanes cover it at 128-aligned starts
-# (67 + 127 slack <= 256)
+# starts (67 + 13 clamp slack <= 80), lanes cover it at 128-aligned starts
+# (67 + 128 slack <= 256); after the roll the window is the [67, 67]
+# top-left corner and compute runs on [80, 128]
 _ROWS = 80
 _COLS = 256
+_WORK = 128
 
 
 def _round_up(n: int, m: int) -> int:
@@ -48,141 +59,143 @@ def _build_kernel(min_r: int, max_r: int, H: int, W: int, K: int, CH: int,
     Hc = _round_up(H + 2 * pad + 8, 8)
     Wc = _round_up(W + 2 * pad, 128)
     n_chunks = K // CH
+    n_r = max_r - min_r + 1
     # away-pass radii: landings with the wrong-sign walk require
     # d <= 2*sqrt(2) and r <= d + 2.85 <= 5.68 (circles.py pruning proof);
     # walking the fixed superset r in [min_r, min(max_r, 6)] is exact
     # because out-of-reach steps simply never land
-    away_rs = [r for r in range(min_r, min(max_r, 6) + 1)]
+    away_rs = list(range(min_r, min(max_r, 6) + 1))
+    win = 2 * ext + 1
 
     def kern(ys_ref, xs_ref, nvalid_ref, plane_ref, out_ref):
-        c = pl.program_id(1)
         n_valid = nvalid_ref[0, 0]
 
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _COLS), 0)
-        cols_i = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _COLS), 1)
-        inv1024 = jnp.float32(1.0 / 1024.0)
+        # window-origin-relative geometry, computed once per chunk
+        # (Pallas kernels cannot capture array constants)
+        u = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _WORK), 0)
+        v = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _WORK), 1)
+        boy_i = ext - u                       # centre - pixel (rows)
+        box_i = ext - v
+        d2 = boy_i * boy_i + box_i * box_i
+        rhat = jnp.round(jnp.sqrt(d2.astype(jnp.float32))).astype(jnp.int32)
+        rhs = rhat - min_r                    # unsigned-compare range check
+        wmask = jnp.where((u < win) & (v < win), 1.0, 0.0)
+        bxm = box_i - 1                       # ddx+1 = (px>>10) - (box-1)
+        bym = boy_i - 1
+        # away-pass restriction: only pixels with d <= 2*sqrt(2) can land
+        # with the wrong sign (slicing a rolled value to a row slab trips a
+        # Mosaic internal assert, so the away pass runs full-width with
+        # this mask zeroing everything non-central)
+        a_central = jnp.where(d2 <= 8, 1.0, 0.0)
 
-        def one(i, _):
-            idx = c * CH + i
+        # zero the whole output once; the loop then only visits valid
+        # candidates (dynamic trip count — invalid ones cost nothing)
+        out_ref[:] = jnp.zeros((K, 9), jnp.float32)
 
-            @pl.when(idx < n_valid)
-            def _():
-                y = ys_ref[0, idx]
-                x = xs_ref[0, idx]
-                ry0 = jnp.minimum(((y + pad - ext) // 8) * 8, Hc - _ROWS)
-                cx0 = jnp.minimum(((x + pad - ext) // 128) * 128, Wc - _COLS)
-                ry0 = pl.multiple_of(ry0, 8)
-                cx0 = pl.multiple_of(cx0, 128)
-                p = plane_ref[pl.ds(ry0, _ROWS), pl.ds(cx0, _COLS)]
+        def one(idx, _):
+            y = ys_ref[0, idx]
+            x = xs_ref[0, idx]
+            oy = y + pad - ext                    # window origin (padded)
+            ox = x + pad - ext
+            ry0 = jnp.minimum((oy // 8) * 8, Hc - _ROWS)
+            cx0 = jnp.minimum((ox // 128) * 128, Wc - _COLS)
+            ry0 = pl.multiple_of(ry0, 8)
+            cx0 = pl.multiple_of(cx0, 128)
+            blk = plane_ref[pl.ds(ry0, _ROWS), pl.ds(cx0, _COLS)]
+            # rotate so the window origin lands at (0, 0); roff <= 13
+            # and amt_x <= 128, so the window never wraps
+            roff = oy - ry0
+            amt_x = ox - cx0
+            blk = pltpu.roll(blk, _ROWS - roff, axis=0)
+            blk = pltpu.roll(blk, _COLS - amt_x, axis=1)
+            p = blk[:, :_WORK]
 
-                e = (p & 1).astype(jnp.float32)
-                wx = ((p >> 1) & 0xFFF).astype(jnp.float32) - 1024.0
-                wy = ((p >> 13) & 0xFFF).astype(jnp.float32) - 1024.0
+            e = (p & 1).astype(jnp.float32) * wmask
+            wx = ((p >> 1) & 0xFFF) - 1024
+            wy = ((p >> 13) & 0xFFF) - 1024
 
-                # offsets from each block pixel TO the candidate centre
-                # (c - p, matching base_oy/base_ox in circles.exact_rescore)
-                boy = ((y + pad) - (rows_i + ry0)).astype(jnp.float32)
-                box = ((x + pad) - (cols_i + cx0)).astype(jnp.float32)
-                d2 = boy * boy + box * box
-                rhat = jnp.round(jnp.sqrt(d2))
+            # toward-the-candidate sign (see circles.exact_rescore)
+            proj = wy * boy_i + wx * box_i
+            tx = jnp.where(proj >= 0, wx, -wx)
+            ty = jnp.where(proj >= 0, wy, -wy)
 
-                proj = wy * boy + wx * box
-                sgn = jnp.where(proj >= 0.0, 1.0, -1.0)
-                txs = sgn * wx
-                tys = sgn * wy
-
-                acc1 = jnp.zeros((_ROWS, _COLS), jnp.int32)
-                acc2 = jnp.zeros((_ROWS, _COLS), jnp.int32)
-                one_i = jnp.int32(1)
-                # main pass: toward-the-candidate sign, radii rhat - 3 ..
-                # rhat + 3 (all other radii provably cannot land)
-                for k in range(-3, 4):
-                    r_raw = rhat + k
-                    rv = jnp.clip(r_raw, float(min_r), float(max_r))
-                    rmask = (r_raw >= min_r) & (r_raw <= max_r)
-                    ddx = jnp.floor(rv * txs * inv1024) - box
-                    ddy = jnp.floor(rv * tys * inv1024) - boy
-                    inb = (jnp.abs(ddx) <= 1.0) & (jnp.abs(ddy) <= 1.0) & rmask
-                    code = ((ddy + 1.0) * 3.0 + (ddx + 1.0)).astype(jnp.int32)
-                    code = jnp.where(inb, code, 9)
-                    lo = code < 5
-                    acc1 = acc1 + jnp.where(lo, one_i << (5 * code), 0)
-                    acc2 = acc2 + jnp.where(
-                        lo | (code > 8), 0, one_i << (5 * (code - 5))
-                    )
-                # away pass: only edge pixels in the central block
-                # (d <= 2*sqrt(2)) can land with the opposite sign, and the
-                # centre of a true circle is edge-free, so most candidates
-                # skip these steps entirely
-                central = d2 <= 8.0
-                has_central = jnp.sum(e * central) > 0.0
-
-                def away(accs):
-                    a1, a2 = accs
-                    for r in away_rs:
-                        rvf = jnp.float32(float(r))
-                        ddx = jnp.floor(rvf * -txs * inv1024) - box
-                        ddy = jnp.floor(rvf * -tys * inv1024) - boy
-                        inb = (
-                            (jnp.abs(ddx) <= 1.0)
-                            & (jnp.abs(ddy) <= 1.0)
-                            & central
-                        )
-                        code = ((ddy + 1.0) * 3.0 + (ddx + 1.0)).astype(jnp.int32)
-                        code = jnp.where(inb, code, 9)
-                        lo = code < 5
-                        a1 = a1 + jnp.where(lo, one_i << (5 * code), 0)
-                        a2 = a2 + jnp.where(
-                            lo | (code > 8), 0, one_i << (5 * (code - 5))
-                        )
-                    return a1, a2
-
-                acc1, acc2 = jax.lax.cond(
-                    has_central, away, lambda accs: accs, (acc1, acc2)
+            # main pass: radii rhat-3 .. rhat+3 (all others cannot
+            # land); px = r*tx via incremental adds, >> 10 = OpenCV's
+            # fixed-point floor; 9 cells packed 3 bits each
+            px = (rhs + (min_r - 3)) * tx
+            py = (rhs + (min_r - 3)) * ty
+            acc = jnp.zeros((_ROWS, _WORK), jnp.int32)
+            for k in range(-3, 4):
+                if k > -3:
+                    px = px + tx
+                    py = py + ty
+                ddx1 = (px >> 10) - bxm       # ddx+1, valid in [0,2]
+                ddy1 = (py >> 10) - bym
+                ok = (
+                    (ddx1.astype(jnp.uint32) < 3)
+                    & (ddy1.astype(jnp.uint32) < 3)
+                    & ((rhs + k).astype(jnp.uint32) < n_r)
                 )
+                s = jnp.clip(ddy1 * 9 + ddx1 * 3, 0, 24)
+                acc = acc + (jnp.where(ok, 1, 0) << s)
+                del ddx1, ddy1, ok, s
 
-                scores = [
-                    jnp.sum(
-                        e
-                        * (((acc1 if cc < 5 else acc2)
-                            >> (5 * (cc if cc < 5 else cc - 5))) & 31
-                           ).astype(jnp.float32)
-                    )
-                    for cc in range(9)
-                ]
-                row = jnp.stack(scores).reshape(1, 9)
-                out_ref[pl.ds(i, 1), :] = row
+            # away pass: opposite sign, only central pixels (d<=2*sqrt2)
+            # can land (masked via a_central in the scoring weights)
+            es = e * a_central
+            pxa = min_r * (-tx)
+            pya = min_r * (-ty)
+            acc_a = jnp.zeros((_ROWS, _WORK), jnp.int32)
+            for j, r in enumerate(away_rs):
+                if j > 0:
+                    pxa = pxa - tx
+                    pya = pya - ty
+                ddx1 = (pxa >> 10) - bxm
+                ddy1 = (pya >> 10) - bym
+                ok = (
+                    (ddx1.astype(jnp.uint32) < 3)
+                    & (ddy1.astype(jnp.uint32) < 3)
+                )
+                s = jnp.clip(ddy1 * 9 + ddx1 * 3, 0, 24)
+                acc_a = acc_a + (jnp.where(ok, 1, 0) << s)
+                del ddx1, ddy1, ok, s
 
-            @pl.when(idx >= n_valid)
-            def _():
-                out_ref[pl.ds(i, 1), :] = jnp.zeros((1, 9), jnp.float32)
+            scores = [
+                jnp.sum(e * ((acc >> (3 * cc)) & 7).astype(jnp.float32))
+                + jnp.sum(es * ((acc_a >> (3 * cc)) & 7).astype(jnp.float32))
+                for cc in range(9)
+            ]
+            out_ref[pl.ds(idx, 1), :] = jnp.stack(scores).reshape(1, 9)
 
             return 0
 
-        jax.lax.fori_loop(0, CH, one, 0)
+        jax.lax.fori_loop(0, n_valid, one, 0)
 
     def call(packed_padded, ys, xs, n_valid):
-        grid = (1, n_chunks)
+        # single grid step per (batch, variant): the whole-plane VMEM copy
+        # happens once, and the candidate loop lives inside the kernel
+        # (a per-chunk grid re-DMAs the 1.5 MB plane every step — measured
+        # ~0.34 ms/step of pure floor, 27 ms for a 10x8-step call).
         # SMEM inputs are 2-D [1, K]: vmap of pallas_call prepends batch
         # axes and the TPU lowering requires the last two block dims to be
         # whole-array (1-D SMEM blocks get squeezed and rejected)
         return pl.pallas_call(
             kern,
-            grid=grid,
+            grid=(1,),
             in_specs=[
-                pl.BlockSpec((1, K), lambda v, c: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, K), lambda v, c: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1), lambda v, c: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, K), lambda c: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, K), lambda c: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec(
-                    (Hc, Wc), lambda v, c: (0, 0), memory_space=pltpu.VMEM
+                    (Hc, Wc), lambda c: (0, 0), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (CH, 9), lambda v, c: (c, 0), memory_space=pltpu.VMEM
+                (K, 9), lambda c: (0, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((K, 9), jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=int(Hc * Wc * 4 + (8 << 20)),
+                vmem_limit_bytes=int(Hc * Wc * 4 + (16 << 20)),
             ),
             interpret=interpret,
         )(ys, xs, n_valid, packed_padded)
@@ -193,7 +206,7 @@ def _build_kernel(min_r: int, max_r: int, H: int, W: int, K: int, CH: int,
 def exact_rescore_pallas(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
                          valid=None, chunk: int = 128,
                          interpret: bool = False):
-    """Drop-in for circles.exact_rescore (cells=3) on TPU backends.
+    """Exact-vote patch scores for circles.exact_rescore's walk (cells=3).
 
     Candidates must be valid-prefix ordered (centre_candidates guarantees
     this); work stops at the valid count. Returns scores [K, 3, 3] f32.

@@ -23,7 +23,13 @@ from ..core.board import align_board_jnp
 from ..grid.cluster import cluster_1d
 from ..grid.complete import validate_grid
 from ..grid.identify import identify_board
-from ..hough.circles import hough_circles_gradient
+from ..hough.circles import (
+    circle_finalize,
+    circle_propose,
+    circle_recentre,
+    circle_votes,
+    radius_support_pool,
+)
 from ..hough.erase import erase_circles
 from ..hough.lines import hough_lines_intercepts
 from ..ops.blur import blur_pyramid
@@ -75,66 +81,97 @@ jax.tree_util.register_dataclass(
 )
 
 
-def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold,
-                 content_hw=None) -> BoardResult:
-    """rgb_u8: [H, W, 3] uint8. line_threshold: scalar (traced ok).
+def _use_pallas_rescore(cfg: DetectionConfig, H: int, W: int) -> bool:
+    """Pallas exact-vote kernel on TPU backends; XLA elsewhere (CPU tests)
+    and for canvases whose padded plane would strain VMEM."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return (H + 78) * (W + 196) * 4 <= (24 << 20)
 
-    content_hw=(h, w) (traced scalars ok): shape-bucketed mode — rgb_u8 is
-    a fixed-size canvas whose top-left [h, w] block is the real image, and
-    results match running the pipeline at native [h, w] size. One compiled
-    program then serves every image that fits the canvas (the GUI's
-    zoom-to-region and the CLI would otherwise recompile per image shape).
 
-    Returns BoardResult. Jit with cfg static:
-        jax.jit(detect_board, static_argnums=1)
-    """
-    hw = content_hw
-    # --- preprocess (img2sgf.py:142-153)
-    with jax.named_scope("preprocess"):
-        rgb = preprocess(rgb_u8, cfg.contrast, cfg.brightness, hw=hw)
-        grey = grey_bgr_quirk(rgb)
-    with jax.named_scope("canny"):
-        edges = canny(rgb, cfg.edge_min, cfg.edge_max, cfg.gradient_l2,
-                      iters=cfg.hysteresis_iters, hw=hw)
-
-    # --- circles over the blur pyramid (img2sgf.py:169-186)
-    with jax.named_scope("blur_pyramid"):
-        variants = blur_pyramid(grey, edges, cfg.maxblur, hw=hw)
-
-    def per_variant(img):
-        return hough_circles_gradient(
-            img,
-            canny_high=cfg.circle_canny_high,
-            acc_threshold=cfg.circle_acc_threshold,
-            min_dist=cfg.circle_min_dist,
-            min_r=cfg.circle_min_radius,
-            max_r=cfg.circle_max_radius,
-            num_bins=cfg.num_angle_bins,
-            top_k=cfg.max_center_candidates,
-            max_out=cfg.max_circles_per_variant,
-            hysteresis_iters=cfg.hysteresis_iters,
-            hw=hw,
-        )
-
-    # Dedupe identical pyramid planes: cv.medianBlur / cv.GaussianBlur at
-    # ksize 1 are identities (img2sgf.py:174-175 with k=1), so variants 2
-    # and 3 equal variant 0 (grey). Detection is a deterministic function
-    # of the plane, so run unique planes once and replicate the outputs —
-    # bit-identical to the reference's 10 runs at 8/10 of the work.
-    V = variants.shape[0]
+def _variant_dedup(cfg: DetectionConfig, V: int):
+    """Identity-blur dedup: cv.medianBlur / cv.GaussianBlur at ksize 1 are
+    identities (img2sgf.py:174-175 with k=1), so variants 2 and 3 equal
+    variant 0 (grey). Detection is a deterministic function of the plane,
+    so run unique planes once and replicate the outputs — bit-identical to
+    the reference's 10 runs at 8/10 of the work."""
     if cfg.maxblur >= 0 and V >= 4:
         keep = [0, 1] + list(range(4, V))
         expand = [0, 1, 0, 0] + list(range(2, 2 + V - 4))
     else:
         keep = list(range(V))
         expand = keep
-    with jax.named_scope("hough_circles"):
-        vcircles_u, vvalid_u = jax.vmap(per_variant)(variants[jnp.asarray(keep)])
-    vcircles = vcircles_u[jnp.asarray(expand)]
-    vvalid = vvalid_u[jnp.asarray(expand)]
-    circles = vcircles.reshape(-1, 3)
-    circles_valid = vvalid.reshape(-1)
+    return keep, expand
 
+
+def _pre_circles(rgb_u8, cfg: DetectionConfig, hw):
+    """Preprocess through the blur pyramid (img2sgf.py:142-175)."""
+    with jax.named_scope("preprocess"):
+        rgb = preprocess(rgb_u8, cfg.contrast, cfg.brightness, hw=hw)
+        grey = grey_bgr_quirk(rgb)
+    with jax.named_scope("canny"):
+        edges = canny(rgb, cfg.edge_min, cfg.edge_max, cfg.gradient_l2,
+                      iters=cfg.hysteresis_iters, hw=hw)
+    with jax.named_scope("blur_pyramid"):
+        variants = blur_pyramid(grey, edges, cfg.maxblur, hw=hw)
+    return grey, edges, variants
+
+
+def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes):
+    """Circle detection over a pool of [P, H, W] planes.
+
+    Stages 1-2 (propose, exact patch votes, recentre/NMS) are vmapped per
+    plane; the radius/support stage runs over the FLAT pool so its chunked
+    skip-dead-work branch stays outside any vmap (see radius_support_pool).
+    Returns (circles [P, max_out, 3], valid [P, max_out]).
+    """
+    H, W = planes.shape[-2], planes.shape[-1]
+    use_pallas = _use_pallas_rescore(cfg, H, W)
+
+    def propose(img, hw):
+        return circle_propose(
+            img, cfg.circle_canny_high, cfg.circle_acc_threshold,
+            cfg.circle_min_radius, cfg.circle_max_radius,
+            cfg.num_angle_bins, cfg.max_center_candidates,
+            cfg.hysteresis_iters, hw=hw,
+        )
+
+    with jax.named_scope("circle_propose"):
+        if hw_planes is None:
+            st = jax.vmap(lambda im: propose(im, None))(planes)
+        else:
+            st = jax.vmap(propose)(planes, hw_planes)
+    with jax.named_scope("circle_votes"):
+        patch = jax.vmap(
+            lambda e, a, b, y, x, v: circle_votes(
+                e, a, b, y, x, v, cfg.circle_min_radius,
+                cfg.circle_max_radius, use_pallas=use_pallas,
+            )
+        )(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"], st["valid"])
+    with jax.named_scope("circle_recentre"):
+        ys_c, xs_c, votes, valid2 = jax.vmap(
+            lambda p, y, x, v: circle_recentre(
+                p, y, x, v, cfg.circle_acc_threshold, H, W
+            )
+        )(patch, st["ys"], st["xs"], st["valid"])
+    with jax.named_scope("circle_radius"):
+        r_best, support = radius_support_pool(
+            st["emask"], ys_c, xs_c, valid2,
+            cfg.circle_min_radius, cfg.circle_max_radius,
+        )
+    with jax.named_scope("circle_finalize"):
+        circles, valid = jax.vmap(
+            lambda y, x, v, r, s: circle_finalize(
+                y, x, v, r, s, cfg.circle_acc_threshold,
+                cfg.circle_min_dist, cfg.max_circles_per_variant,
+            )
+        )(ys_c, xs_c, valid2, r_best, support)
+    return circles, valid
+
+
+def _post_circles(grey, edges, circles, circles_valid, cfg: DetectionConfig,
+                  line_threshold, hw) -> BoardResult:
+    """Erasure through board assembly (img2sgf.py:188-198, 230-576)."""
     # --- erase circles from the edge map (img2sgf.py:188-198)
     with jax.named_scope("erase_circles"):
         removed = erase_circles(edges, circles, circles_valid, hw=hw)
@@ -212,6 +249,42 @@ def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold,
     )
 
 
+def _hw_pool(hw, P: int):
+    """Broadcast one image's content dims over its P variant planes."""
+    if hw is None:
+        return None
+    return (jnp.broadcast_to(jnp.asarray(hw[0]), (P,)),
+            jnp.broadcast_to(jnp.asarray(hw[1]), (P,)))
+
+
+def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold,
+                 content_hw=None) -> BoardResult:
+    """rgb_u8: [H, W, 3] uint8. line_threshold: scalar (traced ok).
+
+    content_hw=(h, w) (traced scalars ok): shape-bucketed mode — rgb_u8 is
+    a fixed-size canvas whose top-left [h, w] block is the real image, and
+    results match running the pipeline at native [h, w] size. One compiled
+    program then serves every image that fits the canvas (the GUI's
+    zoom-to-region and the CLI would otherwise recompile per image shape).
+
+    Returns BoardResult. Jit with cfg static:
+        jax.jit(detect_board, static_argnums=1)
+    """
+    hw = content_hw
+    grey, edges, variants = _pre_circles(rgb_u8, cfg, hw)
+    keep, expand = _variant_dedup(cfg, variants.shape[0])
+    planes = variants[jnp.asarray(keep)]
+    vcircles_u, vvalid_u = _circles_on_planes(
+        planes, cfg, _hw_pool(hw, len(keep))
+    )
+    vcircles = vcircles_u[jnp.asarray(expand)]
+    vvalid = vvalid_u[jnp.asarray(expand)]
+    return _post_circles(
+        grey, edges, vcircles.reshape(-1, 3), vvalid.reshape(-1),
+        cfg, line_threshold, hw,
+    )
+
+
 @functools.partial(jax.jit, static_argnums=1)
 def detect_board_jit(rgb_u8, cfg: DetectionConfig, line_threshold):
     return detect_board(rgb_u8, cfg, line_threshold)
@@ -256,12 +329,46 @@ def detect_board_auto(rgb_np, cfg: DetectionConfig, line_threshold) -> BoardResu
     )
 
 
+def _detect_batch_impl(rgb_u8_batch, cfg: DetectionConfig, line_thresholds,
+                       hs=None, ws=None):
+    """Batched pipeline: pre/post stages vmapped per image, circle stages
+    pooled over the flat [B x unique-variant] plane axis so the radius
+    stage's skip-dead-chunks branch runs for real (outside vmap)."""
+    B = rgb_u8_batch.shape[0]
+    if hs is None:
+        grey, edges, variants = jax.vmap(
+            lambda im: _pre_circles(im, cfg, None)
+        )(rgb_u8_batch)
+    else:
+        grey, edges, variants = jax.vmap(
+            lambda im, h, w: _pre_circles(im, cfg, (h, w))
+        )(rgb_u8_batch, hs, ws)
+    keep, expand = _variant_dedup(cfg, variants.shape[1])
+    Vu = len(keep)
+    planes = variants[:, jnp.asarray(keep)]
+    pool = planes.reshape(B * Vu, planes.shape[2], planes.shape[3])
+    if hs is None:
+        hwp = None
+    else:
+        hwp = (jnp.repeat(hs, Vu), jnp.repeat(ws, Vu))
+    vcirc_u, vval_u = _circles_on_planes(pool, cfg, hwp)
+    vcirc = vcirc_u.reshape(B, Vu, -1, 3)[:, jnp.asarray(expand)]
+    vval = vval_u.reshape(B, Vu, -1)[:, jnp.asarray(expand)]
+    circles = vcirc.reshape(B, -1, 3)
+    circles_valid = vval.reshape(B, -1)
+    if hs is None:
+        return jax.vmap(
+            lambda g, e, c, cv, t: _post_circles(g, e, c, cv, cfg, t, None)
+        )(grey, edges, circles, circles_valid, line_thresholds)
+    return jax.vmap(
+        lambda g, e, c, cv, t, h, w: _post_circles(g, e, c, cv, cfg, t, (h, w))
+    )(grey, edges, circles, circles_valid, line_thresholds, hs, ws)
+
+
 @functools.partial(jax.jit, static_argnums=1)
 def detect_board_batch(rgb_u8_batch, cfg: DetectionConfig, line_thresholds):
-    """vmapped pipeline over a [B, H, W, 3] batch."""
-    return jax.vmap(lambda im, t: detect_board(im, cfg, t))(
-        rgb_u8_batch, line_thresholds
-    )
+    """Batched pipeline over a [B, H, W, 3] batch."""
+    return _detect_batch_impl(rgb_u8_batch, cfg, line_thresholds)
 
 
 @functools.partial(jax.jit, static_argnums=1)
@@ -270,6 +377,4 @@ def detect_board_bucket_batch(canvases, cfg: DetectionConfig, line_thresholds,
     """Batched shape-bucketed pipeline: [B, Hc, Wc, 3] canvases whose
     top-left [hs[i], ws[i]] blocks are the real images (mixed native sizes
     share one compiled program per canvas bucket — the serving path)."""
-    return jax.vmap(
-        lambda im, t, h, w: detect_board(im, cfg, t, content_hw=(h, w))
-    )(canvases, line_thresholds, hs, ws)
+    return _detect_batch_impl(canvases, cfg, line_thresholds, hs, ws)
