@@ -115,36 +115,46 @@ def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
     packed = jnp.pad(packed, pad, constant_values=num_bins)
 
     acc = jnp.zeros((H, W), jnp.float32)
-    for d in range(num_bins):
-        # bf16 halves the HBM traffic of the shift chains; values stay
-        # exact (P sums <= seg <= 5 ones, contrib accumulates in f32)
-        e_d = (packed == d).astype(jnp.bfloat16)
-        # partial plane over the expanded domain [H+2B, W+2B]
-        P = None
-        for (jy, jx) in inner[d]:
-            t = jax.lax.slice(
-                e_d, (pad - B - jy, pad - B - jx),
-                (pad - B - jy + H + 2 * B, pad - B - jx + W + 2 * B),
-            )
-            P = t if P is None else P + t
-        contrib = None
-        for (by, bx) in outer[d]:
-            t = jax.lax.slice(P, (B - by, B - bx), (B - by + H, B - bx + W))
-            contrib = t.astype(jnp.float32) if contrib is None else contrib + t
-        # serialise per-bin schedules to bound liveness (see below)
-        acc, packed = jax.lax.optimization_barrier((acc + contrib, packed))
+    GROUP = 4  # bins per barrier step: fewer acc materialisations (HBM
+    # round-trips) while keeping liveness bounded to a few planes
+    for g in range(0, num_bins, GROUP):
+        gsum = None
+        for d in range(g, min(g + GROUP, num_bins)):
+            # bf16 halves the HBM traffic of the shift chains; values stay
+            # exact (P sums <= seg <= 5 ones, contrib accumulates in f32)
+            e_d = (packed == d).astype(jnp.bfloat16)
+            # partial plane over the expanded domain [H+2B, W+2B]
+            P = None
+            for (jy, jx) in inner[d]:
+                t = jax.lax.slice(
+                    e_d, (pad - B - jy, pad - B - jx),
+                    (pad - B - jy + H + 2 * B, pad - B - jx + W + 2 * B),
+                )
+                P = t if P is None else P + t
+            contrib = None
+            for (by, bx) in outer[d]:
+                t = jax.lax.slice(P, (B - by, B - bx), (B - by + H, B - bx + W))
+                contrib = t.astype(jnp.float32) if contrib is None else contrib + t
+            gsum = contrib if gsum is None else gsum + contrib
+        # serialise per-group schedules to bound liveness (see below)
+        acc, packed = jax.lax.optimization_barrier((acc + gsum, packed))
     return acc
 
 
-def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int):
+def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int,
+                     use_pallas: bool = False):
     """Centre-vote accumulator A[H, W] (f32).
 
     edge_mask: [H, W] bool (Canny edges with nonzero gradient).
     dx, dy: int32 Sobel gradients.
     """
-    # the cascade is ~3x faster than both the exact XLA chain and the Pallas
-    # roll kernel and only feeds the (already approximate) proposal stage;
-    # the exact per-offset chain below remains for A/B and small spans
+    # the cascade only feeds the (already approximate) proposal stage; the
+    # exact per-offset chain below remains for A/B and radius spans that
+    # don't divide into segments. (A VMEM-resident Pallas cascade exists
+    # in cascade_pallas.py but measures SLOWER than this XLA chain —
+    # dynamic lane rotates dominate — so it stays experimental;
+    # `use_pallas` is accepted for signature parity with the other stages.)
+    del use_pallas
     if (max_r - min_r + 1) % 5 == 0:
         return vote_accumulator_cascade(edge_mask, dx, dy, num_bins, min_r, max_r)
 
@@ -519,7 +529,8 @@ def greedy_min_dist(ys, xs, valid, supported, min_dist: float):
 
 def circle_propose(img_u8, canny_high: float, acc_threshold: float,
                    min_r: int, max_r: int, num_bins: int, top_k: int,
-                   hysteresis_iters: int = 24, hw=None):
+                   hysteresis_iters: int = 24, hw=None,
+                   use_pallas: bool = False):
     """Stage 1: edges + gradient steps + approximate-accumulator proposals.
 
     Returns dict(emask, sx, sy, ys, xs, valid). A lower threshold (0.5x)
@@ -538,7 +549,8 @@ def circle_propose(img_u8, canny_high: float, acc_threshold: float,
                   iters=hysteresis_iters, hw=hw)
     emask = (edges > 0) & ((dx != 0) | (dy != 0))
 
-    acc = vote_accumulator(emask, dx, dy, num_bins, min_r, max_r)
+    acc = vote_accumulator(emask, dx, dy, num_bins, min_r, max_r,
+                           use_pallas=use_pallas)
     # 0.5x: margin for direction-quantization + cascade rounding smear;
     # stage 2 restores exact votes so extra proposals only cost rescore work
     ys, xs, votes, valid = centre_candidates(acc, 0.5 * acc_threshold, top_k, hw=hw)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DetectionConfig
-from ..pipeline.detect import detect_board
+from ..pipeline.detect import detect_board_batch
 
 
 def data_mesh(devices=None, axis: str = "data") -> Mesh:
@@ -40,13 +40,22 @@ def make_sharded_detector(mesh: Mesh, cfg: DetectionConfig, axis: str = "data"):
     size. Per-image work is embarrassingly parallel: XLA partitions the
     vmapped program with zero cross-chip collectives.
     """
-    in_sharding = (NamedSharding(mesh, P(axis)), NamedSharding(mesh, P(axis)))
+    from jax.experimental.shard_map import shard_map
 
-    @functools.partial(jax.jit, in_shardings=in_sharding)
-    def run(images, thresholds):
-        return jax.vmap(lambda im, t: detect_board(im, cfg, t))(images, thresholds)
+    spec = P(axis)
 
-    return run
+    # shard_map (not plain GSPMD partitioning) so each chip runs the
+    # batched pipeline on its LOCAL shard: the candidate pool and its
+    # skip-dead-chunks scan stay chip-local instead of being sequenced
+    # over the global batch, and no cross-chip gathers can appear.
+    def local(images, thresholds):
+        return detect_board_batch(images, cfg, thresholds)
+
+    sharded = shard_map(
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+        check_rep=False,
+    )
+    return jax.jit(sharded)
 
 
 def aggregate_metrics(result) -> dict:

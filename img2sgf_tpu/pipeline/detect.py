@@ -133,7 +133,7 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes):
             img, cfg.circle_canny_high, cfg.circle_acc_threshold,
             cfg.circle_min_radius, cfg.circle_max_radius,
             cfg.num_angle_bins, cfg.max_center_candidates,
-            cfg.hysteresis_iters, hw=hw,
+            cfg.hysteresis_iters, hw=hw, use_pallas=use_pallas,
         )
 
     with jax.named_scope("circle_propose"):

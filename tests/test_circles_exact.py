@@ -78,3 +78,21 @@ def test_pallas_rescore_matches_xla(monkeypatch):
         )
     )
     np.testing.assert_array_equal(got[valid], want[valid])
+
+
+def test_pallas_cascade_matches_xla():
+    """Interpret-mode Pallas cascade == XLA cascade accumulator, bit for bit."""
+    from img2sgf_tpu.hough.cascade_pallas import vote_accumulator_cascade_pallas
+    from img2sgf_tpu.hough.circles import vote_accumulator_cascade
+
+    rng = np.random.default_rng(3)
+    H, W = 96, 128
+    emask = rng.random((H, W)) < 0.10
+    dx = rng.integers(-255, 256, (H, W)).astype(np.int32)
+    dy = rng.integers(-255, 256, (H, W)).astype(np.int32)
+    want = np.asarray(vote_accumulator_cascade(
+        jnp.asarray(emask), jnp.asarray(dx), jnp.asarray(dy), 64, 1, 30))
+    got = np.asarray(vote_accumulator_cascade_pallas(
+        jnp.asarray(emask), jnp.asarray(dx), jnp.asarray(dy), 64, 1, 30,
+        interpret=True))
+    np.testing.assert_array_equal(got, want)
