@@ -1,4 +1,4 @@
-"""Headless CLI: python -m img2sgf_tpu input_image [output.sgf]
+"""Headless CLI: python -m img2sgf_tpu [--fast] input_image [output.sgf]
 
 Mirrors the reference's argv semantics (img2sgf.py:1256-1269): arg1 is the
 input image, arg2 the output SGF (default: input stem + .sgf). Unlike the
@@ -31,7 +31,8 @@ def _enable_compile_cache():
         pass
 
 
-def run_headless(input_path: str, output_path: str | None, verbose: bool = True) -> int:
+def run_headless(input_path: str, output_path: str | None, verbose: bool = True,
+                 fast: bool = False) -> int:
     _enable_compile_cache()
     from .config import DetectionConfig, choose_line_threshold
     from .core import to_sgf
@@ -45,7 +46,7 @@ def run_headless(input_path: str, output_path: str | None, verbose: bool = True)
         # prints the same message and fails cleanly
         print(f"Error opening file {input_path}:\n{e}", file=sys.stderr)
         return 1
-    cfg = DetectionConfig()
+    cfg = DetectionConfig.fast() if fast else DetectionConfig()
     thr = choose_line_threshold(rgb.shape[0], rgb.shape[1])
     if verbose:
         print(f"Image size {rgb.shape[1]}x{rgb.shape[0]}, line threshold {thr}")
@@ -76,7 +77,7 @@ def run_headless(input_path: str, output_path: str | None, verbose: bool = True)
 
 
 def run_batch(inputs, outdir: str | None, batch_size: int = 16,
-              verbose: bool = True) -> int:
+              verbose: bool = True, fast: bool = False) -> int:
     """Serving path: convert many images with one compiled program per
     canvas bucket, batching same-bucket images together.
 
@@ -106,7 +107,7 @@ def run_batch(inputs, outdir: str | None, batch_size: int = 16,
     if outdir:
         os.makedirs(outdir, exist_ok=True)
 
-    cfg = DetectionConfig()
+    cfg = DetectionConfig.fast() if fast else DetectionConfig()
     # load host-side and group by canvas bucket
     groups: dict[tuple[int, int], list[tuple[str, np.ndarray]]] = {}
     for path in files:
@@ -165,6 +166,11 @@ def main(argv=None) -> int:
     use_gui = "--gui" in argv
     if use_gui:
         argv.remove("--gui")
+    # --fast: reduced blur-pyramid serving preset (DetectionConfig.fast);
+    # accuracy vs the full pipeline is recorded in docs/PARITY.md
+    fast = "--fast" in argv
+    if fast:
+        argv.remove("--fast")
     if "--batch" in argv:
         argv.remove("--batch")
         outdir = None
@@ -177,7 +183,7 @@ def main(argv=None) -> int:
             i = argv.index("--batch-size")
             bs = int(argv[i + 1])
             del argv[i : i + 2]
-        return run_batch(argv, outdir, batch_size=bs)
+        return run_batch(argv, outdir, batch_size=bs, fast=fast)
     if len(argv) > 2:
         sys.exit("Too many command line arguments.")
     input_path = argv[0] if len(argv) > 0 else None
@@ -187,7 +193,7 @@ def main(argv=None) -> int:
         from .gui.app import run_gui
 
         return run_gui(input_path, output_path)
-    return run_headless(input_path, output_path)
+    return run_headless(input_path, output_path, fast=fast)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,21 @@ class DetectionConfig:
     def replace(self, **kw) -> "DetectionConfig":
         return dataclasses.replace(self, **kw)
 
+    @classmethod
+    def fast(cls, **kw) -> "DetectionConfig":
+        """Serving preset: same exact detection algorithm over a reduced
+        blur pyramid (grey, edges, median-3, Gaussian-3 — 4 unique planes
+        instead of 8), roughly halving per-image work.
+
+        The reference runs HoughCircles on blurs up to k=7 (img2sgf.py:
+        169-175) purely for recall on degraded scans; on the fixture suite
+        the k>=5 blurs contribute almost no unique accepted circles.
+        Accuracy on the 18 reference fixtures vs the committed goldens is
+        measured by `tools/parity_report.py --fast` and recorded in
+        docs/PARITY.md — run it after any detection change.
+        """
+        return cls(maxblur=2, **kw)
+
 
 def choose_line_threshold(height: int, width: int) -> int:
     """Auto line-detection threshold from image size.

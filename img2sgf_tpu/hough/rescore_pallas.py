@@ -16,10 +16,15 @@ candidate's 67x67 window starts at (0, 0), which
     (r+1)*s = r*s + s, in int32 (the >> 10 arithmetic shift IS OpenCV's
     fixed-point floor),
   * packs all 9 patch-cell counters into one int32 (3 bits per cell; the
-    7-step main walk puts at most 7 votes in a cell per pixel),
-  * runs the opposite-sign "away" pass unconditionally on a static
-    [16, 128] row slab around the centre (the only place it can land —
-    see the pruning proof in circles.exact_rescore) instead of branching.
+    7-step main walk puts at most 7 votes in a cell per pixel), and scores
+    with 8 packed reductions instead of 18 (cells paired per int32 at
+    15-bit spacing — sums <= 7*4489 < 2^15 so fields cannot overlap),
+  * runs the opposite-sign "away" pass unconditionally on a separate
+    [16, 256] block around the centre row (the only place it can land —
+    see the pruning proof in circles.exact_rescore) instead of branching,
+  * zeroes the output once and loops candidates with a DYNAMIC trip count
+    (fori_loop to n_valid) inside a single grid step per plane — per-chunk
+    grids re-DMA the plane every step and empty iterations cost ~3 us.
 
 Vote semantics are bit-identical to circles.exact_rescore (same per-pixel
 fixed-point walk, radius pruning |r - rhat| <= 3, toward-sign main pass +
@@ -58,7 +63,6 @@ def _build_kernel(min_r: int, max_r: int, H: int, W: int, K: int, CH: int,
     pad = ext + 1            # plane padding: window reach + patch half
     Hc = _round_up(H + 2 * pad + 8, 8)
     Wc = _round_up(W + 2 * pad, 128)
-    n_chunks = K // CH
     n_r = max_r - min_r + 1
     # away-pass radii: landings with the wrong-sign walk require
     # d <= 2*sqrt(2) and r <= d + 2.85 <= 5.68 (circles.py pruning proof);
@@ -161,7 +165,7 @@ def _build_kernel(min_r: int, max_r: int, H: int, W: int, K: int, CH: int,
             pxa = min_r * (-tx2)
             pya = min_r * (-ty2)
             acc_a = jnp.zeros((16, _WORK), jnp.int32)
-            for j, r in enumerate(away_rs):
+            for j in range(len(away_rs)):
                 if j > 0:
                     pxa = pxa - tx2
                     pya = pya - ty2

@@ -96,3 +96,39 @@ def test_pallas_cascade_matches_xla():
         jnp.asarray(emask), jnp.asarray(dx), jnp.asarray(dy), 64, 1, 30,
         interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_radius_pool_matches_fused_estimate():
+    """radius_support_pool at the recentred position == exact_rescore's
+    fused 9-cell radius estimate selected at the best cell (the pooled
+    stage replaced the fused one; both use _radius_tables and distances
+    measured from centre+0.5, so values must be identical)."""
+    from img2sgf_tpu.hough.circles import exact_rescore, radius_support_pool
+
+    rng = np.random.default_rng(5)
+    H = W = 128
+    K = 24
+    emask = rng.random((H, W)) < 0.12
+    ang = rng.uniform(0, 2 * np.pi, (H, W))
+    sx = (np.rint(1024 * np.cos(ang)).astype(np.int32)) * emask
+    sy = (np.rint(1024 * np.sin(ang)).astype(np.int32)) * emask
+    ys = rng.integers(34, H - 34, K)
+    xs = rng.integers(34, W - 34, K)
+
+    patch, r9, s9 = exact_rescore(
+        jnp.asarray(emask), jnp.asarray(sx), jnp.asarray(sy),
+        jnp.asarray(ys), jnp.asarray(xs), 1, 30, 3, with_radius=True,
+    )
+    flat = np.asarray(patch).reshape(K, 9)
+    best = flat.argmax(axis=1)
+    want_r = np.asarray(r9)[np.arange(K), best]
+    want_s = np.asarray(s9)[np.arange(K), best]
+
+    ys_c = ys + best // 3 - 1
+    xs_c = xs + best % 3 - 1
+    got_r, got_s = radius_support_pool(
+        jnp.asarray(emask)[None], jnp.asarray(ys_c)[None],
+        jnp.asarray(xs_c)[None], jnp.ones((1, K), bool), 1, 30, chunk=8,
+    )
+    np.testing.assert_allclose(np.asarray(got_r)[0], want_r, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_s)[0], want_s)

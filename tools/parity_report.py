@@ -4,7 +4,9 @@ Runs detect_board on fixture images (on whatever backend jax selects; the
 real TPU under axon) and compares the final board against
 tests/golden/<name>/board.npy plus stage-level counts from summary.json.
 
-Usage: python tools/parity_report.py [fixture ...]
+Usage: python tools/parity_report.py [--fast] [fixture ...]
+  --fast: use DetectionConfig.fast() (reduced blur pyramid serving preset)
+          to measure its accuracy against the same goldens.
 """
 
 from __future__ import annotations
@@ -33,7 +35,9 @@ def main(names):
     from img2sgf_tpu.hostio import load_rgb
     from img2sgf_tpu.pipeline import detect_board_jit
 
-    cfg = DetectionConfig()
+    fast = "--fast" in names
+    names = [n for n in names if n != "--fast"]
+    cfg = DetectionConfig.fast() if fast else DetectionConfig()
     files = sorted(GOLDEN.iterdir()) if not names else [GOLDEN / n for n in names]
     rows = []
     for gdir in files:

@@ -137,8 +137,7 @@ def main():
     bench_one("post(erase..board)", f_post, grey, edges, circles, cvalid, thr)
 
     f_full = jax.jit(lambda im, t: detect_board_batch(im, cfg, t))
-    out = bench_one("detect_board_batch", f_full, rgb, thr)
-    dt_imgs = None
+    bench_one("detect_board_batch", f_full, rgb, thr)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
