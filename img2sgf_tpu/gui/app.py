@@ -488,13 +488,25 @@ def run_gui(input_path=None, output_path=None) -> int:
     tk.Radiobutton(stm, text="white", variable=side_var, value=WHITE, command=set_side).pack(side=tk.LEFT)
     tk.Label(stm, text="to play").pack(side=tk.LEFT)
 
-    # startup banner (img2sgf.py:1240-1254)
+    # startup banner with library versions (img2sgf.py:1240-1254 logs the
+    # version of every dependency, each wrapped in its own try/except)
     import jax
 
     from .. import __version__
 
     log(f"img2sgf_tpu {__version__} — TPU-native rebuild of img2sgf")
     log("Backend: " + jax.default_backend())
+    for label, get in (
+        ("Tk", lambda: tk.TkVersion),
+        ("jax", lambda: jax.__version__),
+        ("numpy", lambda: np.__version__),
+        ("Pillow", lambda: __import__("PIL").__version__),
+        ("matplotlib", lambda: __import__("matplotlib").__version__),
+    ):
+        try:
+            log(f"{label} version {get()}")
+        except Exception:
+            log(f"Can't find {label} version")
 
     if input_path:
         main.after(100, lambda: open_file(input_path))

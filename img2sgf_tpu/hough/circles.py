@@ -615,7 +615,7 @@ def circle_recentre(patch, ys, xs, valid, acc_threshold: float, H: int, W: int):
 
 
 def radius_support_pool(emask_planes, ys, xs, want, min_r: int, max_r: int,
-                        chunk: int = 64):
+                        chunk: int | None = None):
     """Radius estimate + band support at given centres, for a POOL of
     planes — cost proportional to the number of `want` candidates.
 
@@ -648,8 +648,15 @@ def radius_support_pool(emask_planes, ys, xs, want, min_r: int, max_r: int,
     gp = (order // K).astype(jnp.int32)
     gw = want_f[order]
 
+    if chunk is None:
+        # scale the chunk with the pool so the scan stays ~<=1024 steps at
+        # batch scale (dead steps still cost a scan iteration) while
+        # keeping per-step gather memory bounded
+        chunk = min(512, max(64, N // 1024))
     C = min(chunk, N)
-    assert N % C == 0, "pool size must divide the chunk"
+    while N % C:
+        C //= 2
+    assert C >= 1
 
     def one(p, y, x):
         w = jax.lax.dynamic_slice(ep, (p, y, x), (1, win, win)).reshape(-1)
