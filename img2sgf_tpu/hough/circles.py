@@ -134,10 +134,14 @@ def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
             contrib = None
             for (by, bx) in outer[d]:
                 t = jax.lax.slice(P, (B - by, B - bx), (B - by + H, B - bx + W))
-                contrib = t.astype(jnp.float32) if contrib is None else contrib + t
+                contrib = t if contrib is None else contrib + t
+            # the whole group stays bf16: contrib <= 12*seg = 60 and
+            # gsum <= GROUP*60 = 240 < 256, exact bf16 integers
             gsum = contrib if gsum is None else gsum + contrib
         # serialise per-group schedules to bound liveness (see below)
-        acc, packed = jax.lax.optimization_barrier((acc + gsum, packed))
+        acc, packed = jax.lax.optimization_barrier(
+            (acc + gsum.astype(jnp.float32), packed)
+        )
     return acc
 
 
