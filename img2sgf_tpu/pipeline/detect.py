@@ -136,11 +136,30 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes):
             cfg.hysteresis_iters, hw=hw, use_pallas=use_pallas,
         )
 
+    # chunk the plane axis: one fused XLA program over all B*V planes
+    # drops out of the compiler's fast fusion regime (439 -> 259 ms for
+    # 256 planes when mapped in chunks of 16; same work, better schedule)
+    P = planes.shape[0]
+    CP = 16 if P % 16 == 0 else (8 if P % 8 == 0 else P)
+
     with jax.named_scope("circle_propose"):
         if hw_planes is None:
-            st = jax.vmap(lambda im: propose(im, None))(planes)
+            st = jax.lax.map(
+                jax.vmap(lambda im: propose(im, None)),
+                planes.reshape(P // CP, CP, *planes.shape[1:]),
+            )
         else:
-            st = jax.vmap(propose)(planes, hw_planes)
+            st = jax.lax.map(
+                lambda t: jax.vmap(propose)(t[0], (t[1], t[2])),
+                (
+                    planes.reshape(P // CP, CP, *planes.shape[1:]),
+                    hw_planes[0].reshape(P // CP, CP),
+                    hw_planes[1].reshape(P // CP, CP),
+                ),
+            )
+        st = jax.tree_util.tree_map(
+            lambda x: x.reshape(P, *x.shape[2:]), st
+        )
     with jax.named_scope("circle_votes"):
         patch = jax.vmap(
             lambda e, a, b, y, x, v: circle_votes(

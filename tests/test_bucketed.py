@@ -97,3 +97,24 @@ def test_bucket_batch_matches_single():
                 np.asarray(getattr(single, f)),
                 err_msg=f"{f} image {i}",
             )
+
+
+def test_fast_preset_detects_synthetic():
+    """DetectionConfig.fast() (reduced blur pyramid) still detects the
+    synthetic board and matches the full config's result on it."""
+    from img2sgf_tpu.config import DetectionConfig
+    from img2sgf_tpu.pipeline.detect import detect_board_jit
+
+    img = synth_board(size=147, n=7, stones=((1, 2, 0), (3, 3, 255)))
+    full_cfg = TINY
+    fast_cfg = DetectionConfig.fast(
+        max_center_candidates=TINY.max_center_candidates,
+        max_circles_per_variant=TINY.max_circles_per_variant,
+        max_lines=TINY.max_lines,
+        hysteresis_iters=TINY.hysteresis_iters,
+    )
+    a = detect_board_jit(jnp.asarray(img), full_cfg, jnp.float32(24.0))
+    b = detect_board_jit(jnp.asarray(img), fast_cfg, jnp.float32(24.0))
+    assert bool(a.board_ready) and bool(b.board_ready)
+    np.testing.assert_array_equal(np.asarray(a.full_board),
+                                  np.asarray(b.full_board))
