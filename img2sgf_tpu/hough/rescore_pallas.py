@@ -141,7 +141,9 @@ def _build_kernel(min_r: int, max_r: int, H: int, W: int, K: int, CH: int,
                     & (ddy1.astype(jnp.uint32) < 3)
                     & ((rhs + k).astype(jnp.uint32) < n_r)
                 )
-                s = jnp.clip(ddy1 * 9 + ddx1 * 3, 0, 24)
+                # invalid lanes shift a ZERO, so the amount only needs to
+                # be bounded ([0,31] via mask), not clamped to the field
+                s = (ddy1 * 9 + ddx1 * 3) & 31
                 acc = acc + (jnp.where(ok, 1, 0) << s)
                 del ddx1, ddy1, ok, s
 
@@ -175,7 +177,7 @@ def _build_kernel(min_r: int, max_r: int, H: int, W: int, K: int, CH: int,
                     (ddx1.astype(jnp.uint32) < 3)
                     & (ddy1.astype(jnp.uint32) < 3)
                 )
-                s = jnp.clip(ddy1 * 9 + ddx1 * 3, 0, 24)
+                s = (ddy1 * 9 + ddx1 * 3) & 31
                 acc_a = acc_a + (jnp.where(ok, 1, 0) << s)
                 del ddx1, ddy1, ok, s
 
