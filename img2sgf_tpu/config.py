@@ -30,7 +30,10 @@ class DetectionConfig:
     min_grid_spacing: float = 10.0
     big_space_ratio: float = 1.6
 
-    # Line detection (Hough)
+    # Line detection (Hough). line_threshold is the DEFAULT vote threshold
+    # (img2sgf.py:44): detect_board uses it when no per-call threshold is
+    # given; the CLI/GUI normally auto-choose one per image size instead
+    # (choose_line_threshold, mirroring img2sgf.py:638,721).
     line_threshold: int = 80
     angle_tolerance_deg: float = 1.0
 
@@ -66,6 +69,16 @@ class DetectionConfig:
     max_center_candidates: int = 1024    # accumulator peaks considered per variant
     hysteresis_iters: int = 24          # Canny hysteresis sweep iterations
 
+    def __post_init__(self):
+        # sobel_aperture is a documented-static field: the reference never
+        # changes it from 3 (img2sgf.py:49) and ops/sobel.py implements the
+        # 3x3 stencil only. Reject silently-ignored values.
+        if self.sobel_aperture != 3:
+            raise ValueError(
+                "sobel_aperture must be 3 (the only aperture the reference "
+                "uses and ops/sobel.py implements)"
+            )
+
     @property
     def angle_delta(self) -> float:
         import math
@@ -83,8 +96,9 @@ class DetectionConfig:
     @classmethod
     def fast(cls, **kw) -> "DetectionConfig":
         """Serving preset: same exact detection algorithm over a reduced
-        blur pyramid (grey, edges, median-3, Gaussian-3 — 4 unique planes
-        instead of 8), roughly halving per-image work.
+        blur pyramid (maxblur=2: the k=7 median/Gaussian pair is dropped,
+        leaving 6 unique planes instead of 8 — PARITY.md measured the
+        4-plane maxblur=1 preset losing real fixtures and rejected it).
 
         The reference runs HoughCircles on blurs up to k=7 (img2sgf.py:
         169-175) purely for recall on degraded scans; on the fixture suite

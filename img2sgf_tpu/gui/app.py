@@ -342,7 +342,12 @@ def run_gui(input_path=None, output_path=None) -> int:
 
     def zoom_out(_ev):
         session.zoom_out()
+        # zoom_out is a full parameter reset (img2sgf.py:736-640): sync
+        # every slider, not just the line threshold
+        contrast.set(int(session.contrast))
+        brightness.set(int(session.brightness))
         threshold.set(int(session.line_threshold))
+        rotate.set(0)
         redraw_all()
 
     input_canvas.bind("<Button-1>", sel_start)

@@ -206,19 +206,22 @@ class DetectSession:
         w = int(new[2] - new[0])
         h = int(new[3] - new[1])
         self.log(f"\nZoomed in.  Region size {w}x{h}")
-        self.line_threshold = choose_line_threshold(h, w)
+        # Reference quirk (img2sgf.py:721): the threshold is auto-chosen
+        # from the STALE pre-zoom region (region_PIL is only recropped
+        # later, inside process_image at :136) — not the new selection.
+        ph, pw = self.region_rgb.shape[:2]
+        self.line_threshold = choose_line_threshold(ph, pw)
         self.process()
         return True
 
     def zoom_out(self):
         if self.image_loaded:
             self.log("Zoomed out to full size")
-            self.selection = np.array(
-                [0, 0, self.input_rgb.shape[1], self.input_rgb.shape[0]]
-            )
-            self.line_threshold = choose_line_threshold(
-                self.input_rgb.shape[0], self.input_rgb.shape[1]
-            )
+            # the reference's zoom_out (img2sgf.py:732-737) re-runs
+            # initialise_parameters: a FULL reset of selection, rotation,
+            # contrast/brightness, black threshold and alignment — exactly
+            # what load_image does
+            self.load_image(self.input_rgb)
             self.process()
 
     # --- export (img2sgf.py:781-822) ----------------------------------

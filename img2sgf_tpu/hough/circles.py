@@ -117,12 +117,18 @@ def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
     acc = jnp.zeros((H, W), jnp.float32)
     GROUP = 4  # bins per barrier step: fewer acc materialisations (HBM
     # round-trips) while keeping liveness bounded to a few planes
+    # bf16 integers are exact only below 2^8: contrib <= n_out*seg = 2*n
+    # votes per bin and the group sum adds GROUP of them, so the bf16 path
+    # requires GROUP*2*n <= 256 (true for the r in [1,30] default: 240);
+    # wider radius spans accumulate in f32 to stay exact
+    n_r = max_r - min_r + 1
+    group_dtype = jnp.bfloat16 if GROUP * 2 * n_r <= 256 else jnp.float32
     for g in range(0, num_bins, GROUP):
         gsum = None
         for d in range(g, min(g + GROUP, num_bins)):
             # bf16 halves the HBM traffic of the shift chains; values stay
             # exact (P sums <= seg <= 5 ones, contrib accumulates in f32)
-            e_d = (packed == d).astype(jnp.bfloat16)
+            e_d = (packed == d).astype(group_dtype)
             # partial plane over the expanded domain [H+2B, W+2B]
             P = None
             for (jy, jx) in inner[d]:

@@ -60,6 +60,16 @@ def _round_up(n: int, m: int) -> int:
 def _build_kernel(min_r: int, max_r: int, H: int, W: int, K: int, CH: int,
                   interpret: bool):
     ext = max_r + 3          # window half-extent (see circles.exact_rescore)
+    win_ = 2 * ext + 1
+    # the block geometry and the 3/15/8-bit packing bounds below are only
+    # valid for win <= 67 (max_r <= 30): rows need win + 13 <= _ROWS, lanes
+    # need win <= _WORK, and the paired 15-bit score fields need cell sums
+    # <= 7 * win^2 < 2^15. Callers (pipeline._use_pallas_rescore /
+    # exact_rescore_pallas) fall back to the XLA exact_rescore otherwise.
+    assert max_r <= 30, (
+        f"Pallas rescore kernel supports circle_max_radius <= 30, got {max_r}"
+    )
+    assert min_r >= 1
     pad = ext + 1            # plane padding: window reach + patch half
     Hc = _round_up(H + 2 * pad + 8, 8)
     Wc = _round_up(W + 2 * pad, 128)
@@ -149,7 +159,9 @@ def _build_kernel(min_r: int, max_r: int, H: int, W: int, K: int, CH: int,
 
             # away pass: opposite sign, only central pixels (d<=2*sqrt2)
             # can land — a [16, _WORK] slab around the centre row
-            ry2 = ((oy + 31) // 8) * 8
+            # slab covers window rows ext-2 .. ext+2 (8-aligned start keeps
+            # the reach within the 16 rows: offset-in-slab <= 7 + 4 = 11)
+            ry2 = ((oy + ext - 2) // 8) * 8
             ry2 = pl.multiple_of(ry2, 8)
             blk2 = plane_ref[pl.ds(ry2, 16), pl.ds(cx0, _COLS)]
             blk2 = pltpu.roll(blk2, _COLS - amt_x, axis=1)

@@ -49,18 +49,35 @@ def feed_and_detect(mesh: Mesh, run, files, height: int, width: int,
 
     run: a detector from make_sharded_detector (global-batch jitted fn).
     files: the GLOBAL file list (identical on every host); each host
-    decodes only local_file_slice(files). Returns the (sharded) result.
+    decodes only its contiguous slice. thresholds, if given, is the GLOBAL
+    per-file threshold array and is sliced identically. When len(files)
+    does not divide by the process count, the tail is padded by repeating
+    the last file so every host contributes a uniform-size shard (a
+    make_array_from_process_local_data requirement); callers should ignore
+    results beyond the original len(files). Returns the (sharded) result.
     """
     from ..config import choose_line_threshold
     from ..hostio.batch_loader import decode_batch
 
-    mine = local_file_slice(files)
-    local = decode_batch(mine, height, width)
-    images = make_global_batch(mesh, local, axis=axis)
+    pc = jax.process_count()
+    per = -(-len(files) // pc)
+    n_pad = pc * per - len(files)
+    files = list(files) + [files[-1]] * n_pad
     if thresholds is None:
         t = float(choose_line_threshold(height, width))
-        thr_local = np.full((local.shape[0],), t, np.float32)
+        thr_global = np.full((len(files),), t, np.float32)
     else:
-        thr_local = np.asarray(thresholds, np.float32)
-    thr = make_global_batch(mesh, thr_local, axis=axis)
+        thr_global = np.asarray(thresholds, np.float32)
+        thr_global = np.concatenate(
+            [thr_global, np.repeat(thr_global[-1:], n_pad)]
+        ).astype(np.float32)
+        assert thr_global.shape[0] == len(files), (
+            "thresholds must match the global file list length"
+        )
+
+    pi = jax.process_index()
+    mine = local_file_slice(files, pi, pc)
+    local = decode_batch(mine, height, width)
+    images = make_global_batch(mesh, local, axis=axis)
+    thr = make_global_batch(mesh, thr_global[pi * per : (pi + 1) * per], axis=axis)
     return run(images, thr)

@@ -82,9 +82,13 @@ jax.tree_util.register_dataclass(
 
 
 def _use_pallas_rescore(cfg: DetectionConfig, H: int, W: int) -> bool:
-    """Pallas exact-vote kernel on TPU backends; XLA elsewhere (CPU tests)
-    and for canvases whose padded plane would strain VMEM."""
+    """Pallas exact-vote kernel on TPU backends; XLA elsewhere (CPU tests),
+    for canvases whose padded plane would strain VMEM, and for radius
+    ranges outside the kernel's packed-geometry bounds (max_r <= 30 — see
+    rescore_pallas._build_kernel)."""
     if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if cfg.circle_max_radius > 30 or cfg.circle_min_radius < 1:
         return False
     return (H + 78) * (W + 196) * 4 <= (24 << 20)
 
@@ -276,9 +280,11 @@ def _hw_pool(hw, P: int):
             jnp.broadcast_to(jnp.asarray(hw[1]), (P,)))
 
 
-def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold,
+def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold=None,
                  content_hw=None) -> BoardResult:
-    """rgb_u8: [H, W, 3] uint8. line_threshold: scalar (traced ok).
+    """rgb_u8: [H, W, 3] uint8. line_threshold: scalar (traced ok);
+    defaults to cfg.line_threshold (img2sgf.py:44) when omitted — callers
+    that mirror the GUI/CLI auto-tuning pass choose_line_threshold(h, w).
 
     content_hw=(h, w) (traced scalars ok): shape-bucketed mode — rgb_u8 is
     a fixed-size canvas whose top-left [h, w] block is the real image, and
@@ -289,6 +295,8 @@ def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold,
     Returns BoardResult. Jit with cfg static:
         jax.jit(detect_board, static_argnums=1)
     """
+    if line_threshold is None:
+        line_threshold = float(cfg.line_threshold)
     hw = content_hw
     grey, edges, variants = _pre_circles(rgb_u8, cfg, hw)
     keep, expand = _variant_dedup(cfg, variants.shape[0])

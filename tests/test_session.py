@@ -81,8 +81,54 @@ def test_zoom_geometry_no_rotation():
     ok = s.select_region([100, 100, 200, 200], (400, 400))
     assert ok
     np.testing.assert_allclose(s.selection, [100, 100, 200, 200])
-    # threshold re-chosen for the 100x100 region
-    assert s.line_threshold == 23
+    # reference quirk (img2sgf.py:721): threshold re-chosen from the STALE
+    # pre-zoom region (400x400 -> 47), not the new 100x100 selection
+    assert s.line_threshold == 47
+
+
+def test_zoom_threshold_uses_stale_region_quirk():
+    """Second zoom picks the threshold from the FIRST zoom's region size
+    (region_PIL at img2sgf.py:721 is only recropped inside process_image)."""
+    s = DetectSession(log=lambda *_: None)
+    rgb = np.zeros((400, 400, 3), np.uint8)
+    s.load_image(rgb)
+    s.region_rgb = rgb
+
+    def fake_process():
+        # crop the region as process() would (crop_and_rotate, rot 0)
+        x1, y1, x2, y2 = (int(v) for v in s.selection)
+        s.region_rgb = s.input_rgb[y1:y2, x1:x2]
+
+    s.process = fake_process
+    assert s.select_region([0, 0, 200, 200], (400, 400))
+    assert s.line_threshold == 47  # from the 400x400 pre-zoom region
+    assert s.select_region([0, 0, 100, 100], (400, 400))
+    # chosen from the 200x200 first-zoom region (200/12.8+16=31), not 100x100
+    assert s.line_threshold == 31
+
+
+def test_zoom_out_full_parameter_reset():
+    """zoom_out re-runs initialise_parameters (img2sgf.py:736): rotation,
+    contrast/brightness, black threshold, alignment and selection all
+    reset to defaults."""
+    s = DetectSession(log=lambda *_: None)
+    rgb = np.zeros((300, 400, 3), np.uint8)
+    s.load_image(rgb)
+    s.process = lambda: None
+    s.rotate_deg = 10.0
+    s.contrast = 90
+    s.brightness = 10
+    s.black_stone_threshold = 60
+    s.board_alignment = [Alignment.RIGHT, Alignment.BOTTOM]
+    s.selection = np.array([10, 10, 50, 50])
+    s.zoom_out()
+    assert s.rotate_deg == 0.0
+    assert s.contrast == s.cfg.contrast
+    assert s.brightness == s.cfg.brightness
+    assert s.black_stone_threshold == s.cfg.black_stone_threshold
+    assert s.board_alignment == [Alignment.LEFT, Alignment.TOP]
+    np.testing.assert_allclose(s.selection, [0, 0, 400, 300])
+    assert s.line_threshold == 39  # 300/12.8+16 from the full image
 
 
 def test_zoom_rejects_tiny_rectangles():
