@@ -31,7 +31,13 @@ def complete_grid(x, n, board_size: int, min_grid_spacing: float,
                   big_space_ratio: float):
     """x: [M] ascending coords padded with +inf; n: valid count.
 
-    Returns (y[M], ny, ok, reason).
+    Returns (y[M], ny, ok, reason, diag) where diag is a [4] f32 vector of
+    narration diagnostics mirroring the reference's log script
+    (img2sgf.py:335-397): [min_space, has_big, steps, grid_n] — the
+    minimum line spacing, whether any gap exceeds the big-space bound,
+    the edge-to-edge distance in units of average spacing (the reference's
+    pre-increment `n`, :366-369), and the inferred full grid size
+    (`n` after the +1, :378).
     """
     M = x.shape[0]
     idx = jnp.arange(M)
@@ -88,7 +94,13 @@ def complete_grid(x, n, board_size: int, min_grid_spacing: float,
     ok = fail_reason == OK
     y = jnp.where(ok, y, _INF)
     ny = jnp.where(ok, ny, 0)
-    return y, ny, ok, fail_reason
+    diag = jnp.stack([
+        min_space,
+        has_big.astype(jnp.float32),
+        steps.astype(jnp.float32),
+        ny_fill.astype(jnp.float32),
+    ]).astype(jnp.float32)
+    return y, ny, ok, fail_reason, diag
 
 
 def truncate_grid(x, n, board_size: int):
@@ -107,11 +119,23 @@ def truncate_grid(x, n, board_size: int):
 
 def validate_axis(centres, count, board_size: int, min_grid_spacing: float,
                   big_space_ratio: float):
-    """truncate -> complete -> truncate for one axis (img2sgf.py:422-430)."""
-    x, n = truncate_grid(centres, count, board_size)
-    x, n, ok, reason = complete_grid(x, n, board_size, min_grid_spacing, big_space_ratio)
-    x, n = truncate_grid(x, n, board_size)
-    return x, n, ok, reason
+    """truncate -> complete -> truncate for one axis (img2sgf.py:422-430).
+
+    Returns (x, n, ok, reason, diag); diag is a [6] f32 narration vector:
+    complete_grid's [min_space, has_big, steps, grid_n] followed by
+    [n_trunc1, n_complete] — the line counts after the first truncation
+    and after completion (the values the reference's log messages quote).
+    """
+    x, n1 = truncate_grid(centres, count, board_size)
+    x, n2, ok, reason, cdiag = complete_grid(
+        x, n1, board_size, min_grid_spacing, big_space_ratio
+    )
+    x, n = truncate_grid(x, n2, board_size)
+    diag = jnp.concatenate([
+        cdiag,
+        jnp.stack([n1.astype(jnp.float32), n2.astype(jnp.float32)]),
+    ])
+    return x, n, ok, reason, diag
 
 
 def validate_grid(hcentres, hcount, vcentres, vcount, board_size: int,
@@ -122,10 +146,10 @@ def validate_grid(hcentres, hcount, vcentres, vcount, board_size: int,
     valid flag and per-axis reason codes. Note the reference's naming:
     vsize = number of horizontal lines, hsize = number of vertical lines.
     """
-    hc, hcn, hok, hreason = validate_axis(
+    hc, hcn, hok, hreason, hdiag = validate_axis(
         hcentres, hcount, board_size, min_grid_spacing, big_space_ratio
     )
-    vc, vcn, vok, vreason = validate_axis(
+    vc, vcn, vok, vreason, vdiag = validate_axis(
         vcentres, vcount, board_size, min_grid_spacing, big_space_ratio
     )
     valid = hok & vok
@@ -139,6 +163,8 @@ def validate_grid(hcentres, hcount, vcentres, vcount, board_size: int,
         "valid": valid,
         "hreason": hreason,
         "vreason": vreason,
+        "hdiag": hdiag,
+        "vdiag": vdiag,
         "hcentres_complete": hc,
         "vcentres_complete": vc,
         "vsize": vsize,

@@ -17,6 +17,13 @@ from ..core import BLACK, Alignment, BoardStates, align_board_np, to_sgf
 from ..hostio import crop_and_rotate
 
 
+def _fmt_num(v) -> str:
+    """Reference log formatting: Tk sliders hold ints, so integral values
+    print without a decimal point."""
+    f = float(v)
+    return str(int(f)) if f == int(f) else str(f)
+
+
 class DetectSession:
     """One loaded image + parameters + cached detection results."""
 
@@ -76,9 +83,12 @@ class DetectSession:
 
         self.log("\nProcessing image")
         if self.rotate_deg != 0:
-            self.log(f"Rotated by {self.rotate_deg} degrees")
-        self.log(f"Contrast = {self.contrast}")
-        self.log(f"Brightness = {self.brightness}")
+            self.log(f"Rotated by {_fmt_num(self.rotate_deg)} degrees")
+        self.log(f"Contrast = {_fmt_num(self.contrast)}")
+        self.log(f"Brightness = {_fmt_num(self.brightness)}")
+        self.log("Converting to greyscale")
+        self.log("Running Canny edge detection algorithm")
+        self.log("Detecting circles")
         region = crop_and_rotate(self.input_rgb, self.selection, self.rotate_deg)
         self.region_rgb = region
         cfg = self.cfg.replace(contrast=float(self.contrast),
@@ -99,31 +109,83 @@ class DetectSession:
         self.board_edited = False
         return res
 
+    def _narrate_truncate(self, n: int):
+        """truncate_grid's messages (img2sgf.py:400-417)."""
+        bs = self.cfg.board_size
+        if n == bs + 2:
+            self.log("Dropping two extra lines at the outsides of the grid")
+        elif n == bs + 1:
+            self.log("Dropping one extra line at the end of the grid")
+
+    def _narrate_axis(self, name: str, count: int, diag, reason: int) -> bool:
+        """One axis of validate_grid's decision script (img2sgf.py:335-430):
+        truncate -> complete_grid -> truncate, message-for-message."""
+        from ..grid import complete as gc
+
+        min_space, has_big, steps, grid_n, n_trunc1, n_complete = (
+            float(x) for x in np.asarray(diag)
+        )
+        self.log(f"Assessing {name} lines.")
+        self._narrate_truncate(count)  # first truncation (:422/:427)
+        if reason == gc.NO_LINES:
+            self.log("No grid lines found at all!")
+            return False
+        if reason == gc.ONE_LINE:
+            self.log("Only found one grid line")
+            return False
+        if reason == gc.TOO_CLOSE:
+            # the five spaces before "pixels" are verbatim reference
+            # output (img2sgf.py:351)
+            self.log(
+                "Grid lines are too close together: minimum spacing is "
+                f"{round(min_space, 4)}     pixels"
+            )
+            return False
+        n1 = int(n_trunc1)
+        if not has_big:  # no gaps (:356-358)
+            self.log(f"Got a complete grid of {n1} lines")
+        else:
+            if reason == gc.TOO_BIG:
+                self.log(
+                    f"Distance between edges of grid is {int(steps)} "
+                    "times minimum space."
+                )
+                self.log("Extra lines on diagram, or a grid line detected twice?")
+                return False
+            self.log(f"Got {n1} lines within a grid of size {int(grid_n)}")
+            if n1 < int(grid_n):
+                self.log("Filling in gaps.")
+        self._narrate_truncate(int(n_complete))  # second truncation (:424/:429)
+        return True
+
     def _narrate(self, res):
-        """Reproduce the reference's log narration from diagnostics."""
+        """Reproduce the reference's log narration line-for-line from the
+        BoardResult diagnostics (find_grid and everything it calls,
+        img2sgf.py:258-266, 295-306, 335-430, 497-534, 546-576)."""
         nh = int(np.asarray(res.hlines_valid).sum())
         nv = int(np.asarray(res.vlines_valid).sum())
         self.log(f"Found {nh} distinct horizontal lines and {nv} distinct vertical lines")
         self.log(f"Got {int(res.hcount)} horizontal and {int(res.vcount)} vertical grid lines")
-        from ..grid import complete as gc
-
-        reasons = {
-            gc.NO_LINES: "No grid lines found at all!",
-            gc.ONE_LINE: "Only found one grid line",
-            gc.TOO_CLOSE: "Grid lines are too close together",
-            gc.TOO_BIG: "Extra lines on diagram, or a grid line detected twice?",
-        }
-        for axis, code in (("horizontal", int(res.hreason)), ("vertical", int(res.vreason))):
-            if code in reasons:
-                self.log(f"Assessing {axis} lines: {reasons[code]}")
+        if self._narrate_axis("horizontal", int(res.hcount), res.hdiag, int(res.hreason)):
+            self._narrate_axis("vertical", int(res.vcount), res.vdiag, int(res.vreason))
         if bool(res.valid_grid):
-            nb, nw = int(res.num_black), int(res.num_white)
-            self.log(
-                f"Detected {nb} black stone{'s' if nb != 1 else ''} and "
-                f"{nw} white stone{'s' if nw != 1 else ''} on a "
-                f"{int(res.hsize)}x{int(res.vsize)} board."
-            )
-            self.log("Guessing black to play" if nb <= nw else "Guessing white to play")
+            hsize, vsize = int(res.hsize), int(res.vsize)
+            if hsize > self.cfg.board_size:
+                self.log("Too many vertical lines!")
+            elif vsize > self.cfg.board_size:
+                self.log("Too many horizontal lines!")
+            else:
+                self.log(
+                    "Guessing stone colours based on a threshold of "
+                    f"{_fmt_num(self.black_stone_threshold)}"
+                )
+                nb, nw = int(res.num_black), int(res.num_white)
+                self.log(
+                    f"Detected {nb} black stone{'s' if nb != 1 else ''} and "
+                    f"{nw} white stone{'s' if nw != 1 else ''} on a "
+                    f"{hsize}x{vsize} board."
+                )
+                self.log("Guessing black to play" if nb <= nw else "Guessing white to play")
 
     def reclassify(self):
         """Re-threshold cached intensities only (img2sgf.py:762-766)."""

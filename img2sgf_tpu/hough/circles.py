@@ -225,7 +225,23 @@ def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None):
         & interior
     )
     score = jnp.where(is_max, acc, -1.0).reshape(-1)
-    votes, flat = jax.lax.top_k(score, top_k)
+    if W % 2 == 0:
+        # lossless 2x shrink before the (sort-bound) top_k: two
+        # horizontally adjacent cells can never BOTH be maxima (a >= right
+        # contradicts b > left), so the max over each in-row [2] pair
+        # keeps every candidate. Exactness incl. tie order: within a pair
+        # only one cell can be a valid max (the other scores -1), and
+        # across pairs top_k's smaller-index tie rule on pair indices
+        # equals the flat-index rule. Even W keeps pairs inside one row
+        # (a cross-row pair could hold two maxima); odd-W planes take the
+        # direct path below.
+        pairs = score.reshape(-1, 2)
+        pmax = jnp.max(pairs, axis=1)
+        votes, pidx = jax.lax.top_k(pmax, top_k)
+        left = jnp.take(score, 2 * pidx)
+        flat = 2 * pidx + jnp.where(left == votes, 0, 1)
+    else:
+        votes, flat = jax.lax.top_k(score, top_k)
     valid = votes > 0
     return flat // W, flat % W, votes, valid
 
@@ -252,12 +268,13 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
     arithmetic shifts, bit-identical to the reference walk. Returns
     scores [K, cells, cells] f32.
     """
-    assert cells == 3, "rescore patch is specialised to 3x3"
-    # pixels up to max_r + ~2.5 away can still land in the 3x3 patch
-    # (floor bias + patch extent), so the gather window is padded by 3
-    ext = max_r + 3
+    assert cells in (3, 5), "rescore patch must be 3x3 or 5x5"
+    reach = cells // 2
+    # pixels up to max_r + reach + ~1.5 away can still land in the patch
+    # (floor bias + patch extent), so the gather window is padded by reach+2
+    ext = max_r + reach + 2
     win = 2 * ext + 1
-    pad = ext + cells // 2
+    pad = ext + reach
     # pack (edge, sx+1024, sy+1024) into one int32 plane: windows are
     # gathered once instead of three times (gathers dominate this stage)
     packed = (
@@ -266,7 +283,7 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
         | ((sy + 1024) << 13)
     )
     pk = jnp.pad(packed, pad)
-    half = cells // 2
+    half = reach
 
     # static per-window-pixel offsets to the candidate cell (p = c + (u-ext))
     uu = np.broadcast_to(np.arange(win)[:, None] - ext, (win, win))
@@ -276,25 +293,30 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
     base_oy = jnp.asarray(base_oy_np, jnp.int32)
     base_ox = jnp.asarray(base_ox_np, jnp.int32)
 
-    # A walk step lands within the 3x3 patch only if |r*g - b| <= 2.015 per
-    # coordinate (g = signed unit gradient, b = offset to the candidate,
-    # 2.015 = patch reach 1 + floor bias 1 + fixed-point rounding r*0.5/1024),
-    # i.e. |r*g - b|_2 <= 2.85. Two exact consequences:
-    #   * |r - d| <= 2.85 where d = |b|, so with rhat = round(d) only
-    #     k = r - rhat in [-3, 3] can land (7 steps instead of 60);
+    # A walk step lands within the patch only if |r*g - b| <= reach + 1.015
+    # per coordinate (g = signed unit gradient, b = offset to the candidate,
+    # reach + floor bias 1 + fixed-point rounding r*0.5/1024), i.e.
+    # |r*g - b|_2 <= L2 = sqrt(2)*(reach + 1.015). Two exact consequences:
+    #   * |r - d| <= L2 where d = |b|, so with rhat = round(d) only
+    #     k = r - rhat with |k| <= floor(L2 + 0.5) can land
+    #     (7 steps at reach 1, 9 at reach 2 — instead of 60);
     #   * the wrong-sign walk (g pointing away from the candidate) requires
-    #     d <= 2.85, so outside the central 5x5 window block (d <= 2*sqrt(2),
-    #     and no integer lattice distance lies in (2.83, 2.85]) only the
-    #     toward-the-candidate sign needs walking. The central block gets a
-    #     tiny second pass with the opposite sign.
+    #     d <= L2, so outside the central block of half-width 2*reach
+    #     (covers every lattice distance <= L2: max needed is 2.83 <= 2.85
+    #     at reach 1, 4.25 <= 4.27 at reach 2) only the toward-the-candidate
+    #     sign needs walking. The central block gets a tiny second pass with
+    #     the opposite sign.
     # Verified exact against the brute-force 60-step walk in
-    # tests/test_circles_exact.py.
+    # tests/test_circles_exact.py (both patch sizes).
     d_pix = np.sqrt(base_oy_np.astype(np.float64) ** 2 + base_ox_np.astype(np.float64) ** 2)
     rhat = np.round(d_pix).astype(np.int32)
-    ks = range(-3, 4)
-    # flat indices of the central 5x5 block (d <= 2*sqrt(2))
+    kmax = int(math.floor(math.sqrt(2.0) * (reach + 1.015) + 0.5))
+    ks = range(-kmax, kmax + 1)
+    # flat indices of the central block (wrong-sign pass)
+    ih = 2 * reach
     inner_flat_np = (
-        (np.arange(-2, 3)[:, None] + ext) * win + (np.arange(-2, 3)[None, :] + ext)
+        (np.arange(-ih, ih + 1)[:, None] + ext) * win
+        + (np.arange(-ih, ih + 1)[None, :] + ext)
     ).reshape(-1)
     rhat_inner = rhat[inner_flat_np]
 
@@ -304,6 +326,7 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
     # (the radius histogram is position-sensitive: a 1 px shift moves edge
     # pixels across 0.5 px bands and changes the support count).
     if with_radius:
+        assert cells == 3, "fused radius tables cover the 3x3 recentre only"
         oh_list, dh_list = [], []
         n_bands = None
         for cdy in (-1, 0, 1):
@@ -329,17 +352,24 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
     base_ox_f = base_ox.astype(jnp.float32)
     base_oy_f = base_oy.astype(jnp.float32)
 
+    n_cells = cells * cells
+    PER = 6  # 5-bit count fields per int32 accumulator
+    n_acc = -(-n_cells // PER)
+    reach_f = float(reach)
+    cells_f = float(cells)
+
     def walk_pass(wxs, wys, rhat_s, box_f, boy_f):
         """Bit-packed patch-cell vote counts for one signed walk over a slot
-        subset (5 bits per cell, cells 0-4 in acc1, 5-8 in acc2). The chain
+        subset (5 bits per cell, PER cells per int32 accumulator). The chain
         is purely elementwise, so XLA fuses it into a single pass.
 
-        f32 replication of the walk: |r*s| <= 30720 < 2^24 is an exact f32
-        integer and /1024 an exact scale, so floor reproduces OpenCV's
-        arithmetic shift bit-exactly (incl. toward--inf on negatives).
+        Field capacity: each field counts k-steps landing on one cell for
+        one pixel, <= len(ks) <= 9 < 31. f32 replication of the walk:
+        |r*s| <= 30720 < 2^24 is an exact f32 integer and /1024 an exact
+        scale, so floor reproduces OpenCV's arithmetic shift bit-exactly
+        (incl. toward--inf on negatives).
         """
-        acc1 = jnp.zeros(wxs.shape, jnp.int32)
-        acc2 = jnp.zeros(wxs.shape, jnp.int32)
+        accs = [jnp.zeros(wxs.shape, jnp.int32) for _ in range(n_acc)]
         one = jnp.int32(1)
         for k in ks:
             r_raw = rhat_s + k
@@ -348,13 +378,16 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
             rmask = jnp.asarray(r_ok)[None, :]
             ddx = jnp.floor(rv * wxs * inv1024) - box_f[None, :]
             ddy = jnp.floor(rv * wys * inv1024) - boy_f[None, :]
-            inb = (jnp.abs(ddx) <= 1.0) & (jnp.abs(ddy) <= 1.0) & rmask
-            code = ((ddy + 1.0) * 3.0 + (ddx + 1.0)).astype(jnp.int32)
-            code = jnp.where(inb, code, 9)
-            lo = code < 5
-            acc1 = acc1 + jnp.where(lo, one << (5 * code), 0)
-            acc2 = acc2 + jnp.where(lo | (code > 8), 0, one << (5 * (code - 5)))
-        return acc1, acc2
+            inb = (jnp.abs(ddx) <= reach_f) & (jnp.abs(ddy) <= reach_f) & rmask
+            code = ((ddy + reach_f) * cells_f + (ddx + reach_f)).astype(jnp.int32)
+            code = jnp.where(inb, code, n_cells)
+            for a in range(n_acc):
+                lo = a * PER
+                sel = (code >= lo) & (code < min(lo + PER, n_cells))
+                # clamp the shift amount so out-of-slab codes stay defined
+                sh = 5 * jnp.clip(code - lo, 0, PER - 1)
+                accs[a] = accs[a] + jnp.where(sel, one << sh, 0)
+        return accs
 
     inner_flat = jnp.asarray(inner_flat_np)
 
@@ -364,29 +397,26 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
         # main pass: toward-the-candidate sign only (see pruning proof above)
         proj = wy * base_oy_f[None, :] + wx * base_ox_f[None, :]
         sgn = jnp.where(proj >= 0.0, 1.0, -1.0)
-        acc1, acc2 = walk_pass(sgn * wx, sgn * wy, rhat, base_ox_f, base_oy_f)
-        # inner pass: central 5x5 slots also walk the opposite sign
+        accs = walk_pass(sgn * wx, sgn * wy, rhat, base_ox_f, base_oy_f)
+        # inner pass: central-block slots also walk the opposite sign
         e_i = e[:, inner_flat_np]
         sgn_i = sgn[:, inner_flat_np]
-        acc1i, acc2i = walk_pass(
+        accs_i = walk_pass(
             -sgn_i * wx[:, inner_flat_np],
             -sgn_i * wy[:, inner_flat_np],
             rhat_inner,
             base_ox_f[inner_flat],
             base_oy_f[inner_flat],
         )
+
+        def cell_count(acc_list, c):
+            a, off = divmod(c, PER)
+            return ((acc_list[a] >> (5 * off)) & 31).astype(jnp.float32)
+
         score = [
-            jnp.sum(
-                e * (((acc1 if c < 5 else acc2) >> (5 * (c if c < 5 else c - 5))) & 31
-                     ).astype(jnp.float32),
-                axis=1,
-            )
-            + jnp.sum(
-                e_i * (((acc1i if c < 5 else acc2i) >> (5 * (c if c < 5 else c - 5))) & 31
-                       ).astype(jnp.float32),
-                axis=1,
-            )
-            for c in range(9)
+            jnp.sum(e * cell_count(accs, c), axis=1)
+            + jnp.sum(e_i * cell_count(accs_i, c), axis=1)
+            for c in range(n_cells)
         ]
         if not with_radius:
             z = jnp.zeros((e.shape[0], 9), jnp.float32)
@@ -576,50 +606,96 @@ def circle_propose(img_u8, canny_high: float, acc_threshold: float,
 
 
 def circle_votes(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
-                 use_pallas: bool = False):
-    """Stage 2a: exact OpenCV accumulator votes on the 3x3 patch around
-    each proposal. patch [K, 3, 3] f32."""
+                 use_pallas: bool = False, cells: int = 3):
+    """Stage 2a: exact OpenCV accumulator votes on the (cells x cells)
+    patch around each proposal. patch [K, cells, cells] f32.
+
+    cells=5 gives every reachable recentre position (the central 3x3) its
+    true 4-neighbourhood, so stage 2b's OpenCV NMS test is exact (no
+    out-of-patch fallback accepts)."""
     if use_pallas:
         from .rescore_pallas import exact_rescore_pallas
 
         return exact_rescore_pallas(emask, sx, sy, ys, xs, min_r, max_r,
-                                    valid=valid)
+                                    valid=valid, cells=cells)
     patch, _r, _s = exact_rescore(
-        emask, sx, sy, ys, xs, min_r, max_r, cells=3, valid=valid,
+        emask, sx, sy, ys, xs, min_r, max_r, cells=cells, valid=valid,
         with_radius=False,
     )
     return patch
 
 
-def circle_recentre(patch, ys, xs, valid, acc_threshold: float, H: int, W: int):
-    """Stage 2b: recentre on the patch argmax, OpenCV NMS + exact
-    threshold, sort by exact votes (desc, ties by y-major flat index).
+def circle_recentre(patch, ys, xs, valid, acc_threshold: float, H: int, W: int,
+                    hw=None):
+    """Stage 2b: recentre on the best candidate cell of the exact-vote
+    patch, OpenCV NMS + threshold, sort by exact votes (desc, ties by
+    y-major flat index).
+
+    With a 5x5 patch (the pipeline path) every cell of the central 3x3 has
+    all four neighbours in-patch, so OpenCV's candidate test (votes >
+    threshold, > left, >= right, > up, >= down) is evaluated EXACTLY for
+    each of the 9 reachable recentre positions; the highest-voted passing
+    cell wins (ties to the smaller y-major index = OpenCV's scan order).
+    With a legacy 3x3 patch (diagnostic tools) the argmax cell is checked
+    with out-of-patch neighbours assumed passing.
+
+    hw=(h, w): content dims inside the canvas — OpenCV scans accumulator
+    cells in [1, h-2] x [1, w-2] only, so recentred cells outside that
+    interior are rejected (5x5 path).
 
     Returns (ys_c, xs_c, exact_votes, valid2), all vote-order sorted.
     """
-    flat = patch.reshape(patch.shape[0], -1)
-    best_cell = jnp.argmax(flat, axis=1)
-    exact_votes = jnp.take_along_axis(flat, best_cell[:, None], axis=1)[:, 0]
-    py, px = best_cell // 3, best_cell % 3
+    K, cells = patch.shape[0], patch.shape[1]
+    flat = patch.reshape(K, -1)
+    if cells == 5:
+        h, w = (H, W) if hw is None else hw
+        centre = np.array([i * 5 + j for i in (1, 2, 3) for j in (1, 2, 3)])
+        v = flat[:, centre]
+        nms_ok = (
+            (v > flat[:, centre - 1])
+            & (v >= flat[:, centre + 1])
+            & (v > flat[:, centre - 5])
+            & (v >= flat[:, centre + 5])
+        )
+        offy = jnp.asarray(centre // 5 - 2, jnp.int32)
+        offx = jnp.asarray(centre % 5 - 2, jnp.int32)
+        cy = ys[:, None] + offy[None, :]
+        cx = xs[:, None] + offx[None, :]
+        interior = (cy >= 1) & (cy <= h - 2) & (cx >= 1) & (cx <= w - 2)
+        ok = nms_ok & (v > acc_threshold) & interior
+        sel = jnp.where(ok, v, -1.0)
+        best = jnp.argmax(sel, axis=1)  # first occurrence = y-major order
+        exact_votes = jnp.take_along_axis(v, best[:, None], axis=1)[:, 0]
+        ys_c = jnp.clip(
+            jnp.take_along_axis(cy, best[:, None], axis=1)[:, 0], 0, H - 1
+        )
+        xs_c = jnp.clip(
+            jnp.take_along_axis(cx, best[:, None], axis=1)[:, 0], 0, W - 1
+        )
+        valid2 = valid & jnp.any(ok, axis=1)
+    else:
+        best_cell = jnp.argmax(flat, axis=1)
+        exact_votes = jnp.take_along_axis(flat, best_cell[:, None], axis=1)[:, 0]
+        py, px = best_cell // 3, best_cell % 3
 
-    # OpenCV's NMS pattern on the exact votes, where the patch shows the
-    # neighbour: > left, >= right, > up, >= down (out-of-patch passes)
-    def nbr(dy_, dx_, fallback):
-        yy, xx = py + dy_, px + dx_
-        inside = (yy >= 0) & (yy < 3) & (xx >= 0) & (xx < 3)
-        idx = jnp.clip(yy, 0, 2) * 3 + jnp.clip(xx, 0, 2)
-        v = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
-        return jnp.where(inside, v, fallback)
+        # OpenCV's NMS pattern on the exact votes, where the patch shows the
+        # neighbour: > left, >= right, > up, >= down (out-of-patch passes)
+        def nbr(dy_, dx_, fallback):
+            yy, xx = py + dy_, px + dx_
+            inside = (yy >= 0) & (yy < 3) & (xx >= 0) & (xx < 3)
+            idx = jnp.clip(yy, 0, 2) * 3 + jnp.clip(xx, 0, 2)
+            nv = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+            return jnp.where(inside, nv, fallback)
 
-    nms_ok = (
-        (exact_votes > nbr(0, -1, -1.0))
-        & (exact_votes >= nbr(0, 1, -1.0))
-        & (exact_votes > nbr(-1, 0, -1.0))
-        & (exact_votes >= nbr(1, 0, -1.0))
-    )
-    ys_c = jnp.clip(ys + py - 1, 0, H - 1)
-    xs_c = jnp.clip(xs + px - 1, 0, W - 1)
-    valid2 = valid & (exact_votes > acc_threshold) & nms_ok
+        nms_ok = (
+            (exact_votes > nbr(0, -1, -1.0))
+            & (exact_votes >= nbr(0, 1, -1.0))
+            & (exact_votes > nbr(-1, 0, -1.0))
+            & (exact_votes >= nbr(1, 0, -1.0))
+        )
+        ys_c = jnp.clip(ys + py - 1, 0, H - 1)
+        xs_c = jnp.clip(xs + px - 1, 0, W - 1)
+        valid2 = valid & (exact_votes > acc_threshold) & nms_ok
     order = jnp.lexsort((ys_c * W + xs_c, -exact_votes.astype(jnp.int32)))
     return ys_c[order], xs_c[order], exact_votes[order], valid2[order]
 
@@ -721,7 +797,7 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
                            min_dist: float, min_r: int, max_r: int,
                            num_bins: int, top_k: int, max_out: int,
                            hysteresis_iters: int = 24, hw=None,
-                           use_pallas: bool = False):
+                           use_pallas: bool = False, cells: int = 3):
     """Full HOUGH_GRADIENT on one [H, W] uint8 image (stage composition).
 
     Returns (circles [max_out, 3] f32 as (cx, cy, r), valid [max_out] bool).
@@ -733,9 +809,10 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
     st = circle_propose(img_u8, canny_high, acc_threshold, min_r, max_r,
                         num_bins, top_k, hysteresis_iters, hw=hw)
     patch = circle_votes(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"],
-                         st["valid"], min_r, max_r, use_pallas=use_pallas)
+                         st["valid"], min_r, max_r, use_pallas=use_pallas,
+                         cells=cells)
     ys_c, xs_c, votes, valid2 = circle_recentre(
-        patch, st["ys"], st["xs"], st["valid"], acc_threshold, H, W
+        patch, st["ys"], st["xs"], st["valid"], acc_threshold, H, W, hw=hw
     )
     r_best, support = radius_support_pool(
         st["emask"][None], ys_c[None], xs_c[None], valid2[None], min_r, max_r

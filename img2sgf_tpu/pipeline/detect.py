@@ -68,6 +68,8 @@ class BoardResult:
     vspace: Any
     hreason: Any  # grid rejection reason codes (grid.complete)
     vreason: Any
+    hdiag: Any  # [6] narration diagnostics per axis (grid.validate_axis)
+    vdiag: Any
     intensities: Any  # [19,19] mean window intensity per grid point
     stone_mask: Any  # [19,19] bool
     grey: Any  # [H,W] uint8 processed grey image
@@ -84,13 +86,15 @@ jax.tree_util.register_dataclass(
 def _use_pallas_rescore(cfg: DetectionConfig, H: int, W: int) -> bool:
     """Pallas exact-vote kernel on TPU backends; XLA elsewhere (CPU tests),
     for canvases whose padded plane would strain VMEM, and for radius
-    ranges outside the kernel's packed-geometry bounds (max_r <= 30 — see
-    rescore_pallas._build_kernel)."""
+    ranges outside the kernel's packed-geometry bounds (max_r + patch
+    reach <= 32 — see rescore_pallas._build_kernel)."""
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    if cfg.circle_max_radius > 30 or cfg.circle_min_radius < 1:
+    reach = cfg.rescore_cells // 2
+    if cfg.circle_max_radius + reach > 32 or cfg.circle_min_radius < 1:
         return False
-    return (H + 78) * (W + 196) * 4 <= (24 << 20)
+    pad = cfg.circle_max_radius + 2 * reach + 2  # = ext + reach
+    return (H + 2 * pad + 15) * (W + 2 * pad + 127) * 4 <= (24 << 20)
 
 
 def _variant_dedup(cfg: DetectionConfig, V: int):
@@ -169,14 +173,23 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes):
             lambda e, a, b, y, x, v: circle_votes(
                 e, a, b, y, x, v, cfg.circle_min_radius,
                 cfg.circle_max_radius, use_pallas=use_pallas,
+                cells=cfg.rescore_cells,
             )
         )(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"], st["valid"])
     with jax.named_scope("circle_recentre"):
-        ys_c, xs_c, votes, valid2 = jax.vmap(
-            lambda p, y, x, v: circle_recentre(
-                p, y, x, v, cfg.circle_acc_threshold, H, W
-            )
-        )(patch, st["ys"], st["xs"], st["valid"])
+        if hw_planes is None:
+            ys_c, xs_c, votes, valid2 = jax.vmap(
+                lambda p, y, x, v: circle_recentre(
+                    p, y, x, v, cfg.circle_acc_threshold, H, W
+                )
+            )(patch, st["ys"], st["xs"], st["valid"])
+        else:
+            ys_c, xs_c, votes, valid2 = jax.vmap(
+                lambda p, y, x, v, h, w: circle_recentre(
+                    p, y, x, v, cfg.circle_acc_threshold, H, W, hw=(h, w)
+                )
+            )(patch, st["ys"], st["xs"], st["valid"],
+              hw_planes[0], hw_planes[1])
     with jax.named_scope("circle_radius"):
         r_best, support = radius_support_pool(
             st["emask"], ys_c, xs_c, valid2,
@@ -264,6 +277,8 @@ def _post_circles(grey, edges, circles, circles_valid, cfg: DetectionConfig,
         vspace=grid["vspace"],
         hreason=grid["hreason"],
         vreason=grid["vreason"],
+        hdiag=grid["hdiag"],
+        vdiag=grid["vdiag"],
         intensities=ident["intensities"],
         stone_mask=ident["stone_mask"],
         grey=grey,

@@ -103,7 +103,7 @@ def test_cluster_single_point_fails_like_reference():
 def _run_axis(coords):
     v = np.full(64, np.inf, np.float32)
     v[: len(coords)] = coords
-    x, n, ok, reason = validate_axis(jnp.asarray(v), len(coords), 19, 10.0, 1.6)
+    x, n, ok, reason, _diag = validate_axis(jnp.asarray(v), len(coords), 19, 10.0, 1.6)
     return np.asarray(x)[: int(n)], bool(ok)
 
 

@@ -33,11 +33,23 @@ def main(names):
 
     from img2sgf_tpu.config import DetectionConfig, choose_line_threshold
     from img2sgf_tpu.hostio import load_rgb
-    from img2sgf_tpu.pipeline import detect_board_jit
+    from img2sgf_tpu.pipeline import detect_board_auto
 
     fast = "--fast" in names
     names = [n for n in names if n != "--fast"]
+    bins = cells = None
+    for n in list(names):
+        if n.startswith("--bins="):
+            bins = int(n.split("=")[1])
+            names.remove(n)
+        elif n.startswith("--cells="):
+            cells = int(n.split("=")[1])
+            names.remove(n)
     cfg = DetectionConfig.fast() if fast else DetectionConfig()
+    if bins is not None:
+        cfg = cfg.replace(num_angle_bins=bins)
+    if cells is not None:
+        cfg = cfg.replace(rescore_cells=cells)
     files = sorted(GOLDEN.iterdir()) if not names else [GOLDEN / n for n in names]
     rows = []
     for gdir in files:
@@ -48,7 +60,10 @@ def main(names):
         rgb = load_rgb(str(FIXTURES / summary["image"]))
         thr = choose_line_threshold(rgb.shape[0], rgb.shape[1])
         t0 = time.time()
-        res = detect_board_jit(jnp.asarray(rgb), cfg, thr)
+        # bucketed path: results are bit-identical to native-size runs
+        # (tests/test_bucketed.py) and 18 fixtures share ~8 canvas shapes,
+        # so a cold-cache report compiles far fewer programs
+        res = detect_board_auto(np.asarray(rgb), cfg, thr)
         ready = bool(res.board_ready)
         dt = time.time() - t0
         n_circ = int(np.asarray(res.circles_valid).sum())

@@ -39,6 +39,7 @@ class RefResult:
     valid_grid: bool = False
     board_ready: bool = False
     reasons: list = field(default_factory=list)
+    log: list = field(default_factory=list)  # verbatim reference log lines
     circles_raw: np.ndarray | None = None  # all Hough hits, pre-filter
     circles: np.ndarray | None = None  # size-filtered
     hcentres: np.ndarray | None = None
@@ -152,22 +153,31 @@ def cluster_centres(lines: np.ndarray) -> np.ndarray:
     return centres
 
 
-def complete_grid(x: np.ndarray | None, reasons: list) -> np.ndarray | None:
-    # img2sgf.py:335-397
+def complete_grid(x: np.ndarray | None, reasons: list,
+                  log=None) -> np.ndarray | None:
+    # img2sgf.py:335-397. `log`, when given, receives the reference's
+    # VERBATIM log messages (for narration-parity tests).
+    log = log if log is not None else (lambda _m: None)
     if x is None or len(x) == 0:
         reasons.append("no grid lines")
+        log("No grid lines found at all!")
         return None
     if len(x) == 1:
         reasons.append("only one grid line")
+        log("Only found one grid line")
         return None
     spaces = x[1:] - x[:-1]
     min_space = spaces.min()
     if min_space < MIN_GRID_SPACING:
         reasons.append(f"grid lines too close: {min_space}")
+        # five spaces before "pixels": verbatim img2sgf.py:351
+        log("Grid lines are too close together: minimum spacing is "
+            + str(min_space) + "     pixels")
         return None
     bound = min_space * BIG_SPACE_RATIO
     big_spaces = spaces[spaces > bound]
     if len(big_spaces) == 0:
+        log("Got a complete grid of " + str(len(x)) + " lines")
         return x
     small_spaces = spaces[spaces <= bound]
     max_space = small_spaces.max()
@@ -177,9 +187,13 @@ def complete_grid(x: np.ndarray | None, reasons: list) -> np.ndarray | None:
         n += int(round(s / average_space))
     if n > BOARD_SIZE + 2:
         reasons.append(f"grid span {n}x min space: extra lines?")
+        log("Distance between edges of grid is " + str(n) + " times minimum space.")
+        log("Extra lines on diagram, or a grid line detected twice?")
         return None
     n += 1
+    log("Got " + str(len(x)) + " lines within a grid of size " + str(n))
     if len(x) < n:
+        log("Filling in gaps.")
         answer = np.zeros(n)
         answer[0] = x[0]
         i, j = 1, 1
@@ -198,13 +212,16 @@ def complete_grid(x: np.ndarray | None, reasons: list) -> np.ndarray | None:
     return x
 
 
-def truncate_grid(x: np.ndarray | None) -> np.ndarray | None:
+def truncate_grid(x: np.ndarray | None, log=None) -> np.ndarray | None:
     # img2sgf.py:400-417
+    log = log if log is not None else (lambda _m: None)
     if x is None:
         return None
     if len(x) == BOARD_SIZE + 2:
+        log("Dropping two extra lines at the outsides of the grid")
         return x[1:-1]
     if len(x) == BOARD_SIZE + 1:
+        log("Dropping one extra line at the end of the grid")
         return x[:-1]
     return x
 
@@ -227,6 +244,7 @@ def run_pipeline(img_pil: Image.Image, contrast: float = 70, brightness: float =
     """Full reference pipeline on one image (as after open_file + process_image)."""
     assert HAVE_CV, "cv2/sklearn required for golden generation"
     res = RefResult()
+    log = res.log.append  # verbatim reference log script (img2sgf.py log())
     t = {}
     t0 = time.perf_counter()
 
@@ -234,16 +252,22 @@ def run_pipeline(img_pil: Image.Image, contrast: float = 70, brightness: float =
         line_threshold = choose_threshold(*img_pil.size)  # :638
     res.line_threshold = line_threshold
 
+    log("\nProcessing image")
+    log("Contrast = " + str(contrast))
+    log("Brightness = " + str(brightness))
     rgb = preprocess(img_pil.convert("RGB"), contrast, brightness)
     t["preprocess"] = time.perf_counter() - t0
 
     t1 = time.perf_counter()
+    log("Converting to greyscale")
     grey = cv.cvtColor(rgb, cv.COLOR_BGR2GRAY)  # BGR quirk on RGB data, :153
+    log("Running Canny edge detection algorithm")
     edges = cv.Canny(rgb, 50, 200, apertureSize=3, L2gradient=False)  # :162-165
     t["grey_canny"] = time.perf_counter() - t1
     res.grey, res.edges = grey, edges
 
     t1 = time.perf_counter()
+    log("Detecting circles")
     circles, _ = detect_circles(rgb, grey, edges, maxblur)
     t["circles"] = time.perf_counter() - t1
     res.circles_raw = np.array(circles, np.float32).reshape(-1, 3)
@@ -256,19 +280,25 @@ def run_pipeline(img_pil: Image.Image, contrast: float = 70, brightness: float =
     t1 = time.perf_counter()
     hlines = find_lines(removed, line_threshold, True)
     vlines = find_lines(removed, line_threshold, False)
+    log("Found " + str(len(hlines)) + " distinct horizontal lines and "
+        + str(len(vlines)) + " distinct vertical lines")
     # cluster (reference recomputes lines inside, same result: img2sgf.py:269)
     hcentres = cluster_centres(hlines)
     vcentres = cluster_centres(vlines)
+    log("Got " + str(len(hcentres)) + " horizontal and "
+        + str(len(vcentres)) + " vertical grid lines")
     t["lines_cluster"] = time.perf_counter() - t1
     res.hcentres, res.vcentres = hcentres, vcentres
 
     # validate_grid (img2sgf.py:420-445)
     t1 = time.perf_counter()
-    hc = truncate_grid(complete_grid(truncate_grid(hcentres), res.reasons))
+    log("Assessing horizontal lines.")
+    hc = truncate_grid(complete_grid(truncate_grid(hcentres, log), res.reasons, log), log)
     if hc is None:
         res.timings = t
         return res
-    vc = truncate_grid(complete_grid(truncate_grid(vcentres), res.reasons))
+    log("Assessing vertical lines.")
+    vc = truncate_grid(complete_grid(truncate_grid(vcentres, log), res.reasons, log), log)
     if vc is None:
         res.timings = t
         return res
@@ -284,9 +314,13 @@ def run_pipeline(img_pil: Image.Image, contrast: float = 70, brightness: float =
     res.circles = circles
 
     if hsize > BOARD_SIZE or vsize > BOARD_SIZE:  # img2sgf.py:568-571
+        log("Too many vertical lines!" if hsize > BOARD_SIZE
+            else "Too many horizontal lines!")
         res.reasons.append("too many lines")
         res.timings = t
         return res
+    log("Guessing stone colours based on a threshold of "
+        + str(black_stone_threshold))
 
     # identify_board (img2sgf.py:497-543)
     def average_intensity(i, j):
@@ -315,6 +349,12 @@ def run_pipeline(img_pil: Image.Image, contrast: float = 70, brightness: float =
     res.num_black = int((sb <= black_stone_threshold).sum())
     res.num_white = num_stones - res.num_black
     res.side_to_move = 1 if res.num_black <= res.num_white else 2
+    log("Detected " + str(res.num_black) + " black stone"
+        + ("s" if res.num_black != 1 else "") + " and " + str(res.num_white)
+        + " white stone" + ("s" if res.num_white != 1 else "") + " on a "
+        + str(hsize) + "x" + str(vsize) + " board.")
+    log("Guessing black to play" if res.num_black <= res.num_white
+        else "Guessing white to play")
     for i in range(hsize):
         for j in range(vsize):
             if board[i, j] == 3:
