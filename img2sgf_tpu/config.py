@@ -68,8 +68,11 @@ class DetectionConfig:
     num_angle_bins: int = 64            # gradient-direction bins for circle voting
     max_center_candidates: int = 1024    # accumulator peaks considered per variant
     hysteresis_iters: int = 24          # Canny hysteresis sweep iterations
-    rescore_cells: int = 3              # exact-vote patch width (3 or 5; 5 =
-    #                                     true-NMS recentre, hough.circles)
+    rescore_cells: int = 5              # exact-vote patch width (3 or 5; 5 =
+    #                                     true-NMS multi-emission recentre —
+    #                                     REQUIRED for cv2-exact selection
+    #                                     (hough.circles.circle_recentre);
+    #                                     3 = legacy argmax diagnostics path
 
     def __post_init__(self):
         # sobel_aperture is a documented-static field: the reference never

@@ -10,9 +10,13 @@ OpenCV's algorithm (hough.cpp, HoughCirclesGradient):
      minR..maxR into a centre accumulator.
   3. Centre candidates: accumulator 4-neighbour local maxima > param2,
      considered in descending vote order.
-  4. Greedy acceptance with minDist spacing; per-candidate radius estimated
-     from the distance distribution of nearby edge pixels (most-supported
-     radius, normalized by circumference); kept if support > param2.
+  4. Modern (4.x/5.x) selection: a radius is estimated for EVERY centre
+     candidate from a 10-bins-per-dr histogram of f32 edge-pixel distances
+     (anchored run scan, most-supported run normalized by radius);
+     candidates with run support > param2 are sorted by (support desc,
+     radius desc, cx asc, cy asc) and accepted greedily with minDist
+     spacing. (Empirically reverse-engineered — float-exact against cv2
+     5.0 per-variant output on the fixtures; tools/cv_oracle.py.)
 
 TPU-native design (static shapes, no scatter):
   - Gradient directions are quantized into D bins over [0, pi). Voting
@@ -24,10 +28,12 @@ TPU-native design (static shapes, no scatter):
     integer snapping of OpenCV's own fixed-point walk.
   - Candidate extraction is top_k over the masked accumulator (vote-order
     ties break by flat index, matching OpenCV's sort).
-  - Radius estimation gathers a (2*maxR+1)^2 window per candidate and bins
-    edge distances with a static one-hot matmul (MXU), scoring bins by
-    support/radius like OpenCV's run scan.
-  - The greedy minDist pass is a tiny fori_loop over the top-K candidates.
+  - Radius estimation gathers a (2*maxR+1)^2 window per candidate; every
+    pixel's distance bin is static, so the histogram is one MXU matmul
+    against a precomputed one-hot, and the anchored run scan is a fixed
+    27-iteration masked reduction.
+  - The greedy minDist pass is a tiny fori_loop over the support-sorted
+    candidates.
 """
 
 from __future__ import annotations
@@ -259,7 +265,7 @@ def pixel_steps(dx, dy):
 
 
 def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
-                  cells: int = 3, valid=None, with_radius: bool = True):
+                  cells: int = 3, valid=None):
     """Exact OpenCV accumulator votes on a (cells x cells) patch around each
     candidate centre.
 
@@ -319,24 +325,6 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
         + (np.arange(-ih, ih + 1)[None, :] + ext)
     ).reshape(-1)
     rhat_inner = rhat[inner_flat_np]
-
-    # Radius-band tables for ALL 9 possible recentred positions, fused into
-    # one [win^2, 9*nb] one-hot so radius estimation shares the window
-    # gathers with the vote rescore AND is computed at the recentred centre
-    # (the radius histogram is position-sensitive: a 1 px shift moves edge
-    # pixels across 0.5 px bands and changes the support count).
-    if with_radius:
-        assert cells == 3, "fused radius tables cover the 3x3 recentre only"
-        oh_list, dh_list = [], []
-        n_bands = None
-        for cdy in (-1, 0, 1):
-            for cdx in (-1, 0, 1):
-                oh, dist, _, nb = _radius_tables(min_r, max_r, ext, cdy, cdx)
-                n_bands = nb
-                oh_list.append(oh)
-                dh_list.append(dist[:, None] * oh)
-        band_onehot = jnp.asarray(np.concatenate(oh_list, axis=1))  # [W2, 9*nb]
-        band_distoh = jnp.asarray(np.concatenate(dh_list, axis=1))
 
     def windows(y, x):
         # padded index (y + half) puts the window at unpadded rows y - ext
@@ -418,19 +406,7 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
             + jnp.sum(e_i * cell_count(accs_i, c), axis=1)
             for c in range(n_cells)
         ]
-        if not with_radius:
-            z = jnp.zeros((e.shape[0], 9), jnp.float32)
-            return jnp.stack(score, axis=1), z, z
-        # fused radius estimate (same window), per recentred patch cell:
-        # most-supported distance band at each of the 9 centres (MXU)
-        counts = (e @ band_onehot).reshape(-1, 9, n_bands)
-        dsums = (e @ band_distoh).reshape(-1, 9, n_bands)
-        r_rep = jnp.where(counts > 0, dsums / jnp.maximum(counts, 1.0), 1.0)
-        rscore = jnp.where(counts > 0, counts / r_rep, -1.0)
-        best = jnp.argmax(rscore, axis=2)
-        r_best = jnp.take_along_axis(r_rep, best[:, :, None], 2)[:, :, 0]
-        support = jnp.take_along_axis(counts, best[:, :, None], 2)[:, :, 0]
-        return jnp.stack(score, axis=1), r_best, support
+        return jnp.stack(score, axis=1)
 
     # chunk the candidate axis: window gathers for every candidate at once
     # would hold K*win^2 live per array (OOM at batch scale)
@@ -451,118 +427,126 @@ def exact_rescore(edge_mask, sx, sy, ys, xs, min_r: int, max_r: int,
     def maybe_chunk(args):
         cy, cx, any_valid = args
         nc = cy.shape[0]
-        zeros = (
-            jnp.zeros((nc, cells * cells), jnp.float32),
-            jnp.zeros((nc, 9), jnp.float32),
-            jnp.zeros((nc, 9), jnp.float32),
-        )
+        zeros = jnp.zeros((nc, cells * cells), jnp.float32)
         return jax.lax.cond(
             any_valid, lambda: score_chunk((cy, cx)), lambda: zeros
         )
 
     chunk_valid = jnp.any(valid.reshape(-1, C), axis=1)
-    score, r_best, support = jax.lax.map(
+    score = jax.lax.map(
         maybe_chunk, (ys.reshape(-1, C), xs.reshape(-1, C), chunk_valid)
     )
     score = score.reshape(-1, cells * cells)[:K]
-    return (
-        score.reshape(K, cells, cells),
-        r_best.reshape(-1, 9)[:K],    # per recentred patch cell
-        support.reshape(-1, 9)[:K],
-    )
+    return score.reshape(K, cells, cells)
 
 
-@functools.lru_cache(maxsize=128)
-def _radius_tables(min_r: int, max_r: int, ext: int | None = None,
-                   cdy: int = 0, cdx: int = 0):
-    """Static distance->band one-hot over the candidate window.
+@functools.lru_cache(maxsize=32)
+def _hist10_tables(min_r: int, max_r: int, dr: float = 1.0):
+    """Static distance->bin one-hot for OpenCV 4.x/5.x's radius histogram.
 
-    Bands are width-1 with centres every 0.5 px (two interleaved binnings),
-    approximating OpenCV's data-aligned distance runs: a ring spread over
-    e.g. [6.9, 7.9] lands fully in the 7.5-centred band instead of being
-    split between integer bins. `ext` is the window half-extent (>= max_r);
-    (cdy, cdx) shift the centre the distances are measured from (used for
-    the recentred patch cells).
+    cv2's HoughCircleEstimateRadiusInvoker measures, for every edge pixel
+    within [minR, maxR] of the centre (cx+.5, cy+.5), the float32 distance
+    and drops it into a histogram with 10 bins per dr. Candidate centres
+    are integer accumulator cells, so over a fixed (2*maxR+1)^2 gather
+    window every pixel's distance — and hence its bin — is STATIC. All
+    arithmetic here is numpy float32 to match cv2 bit-for-bit (verified
+    float-exact against cv2 5.0 per-variant output, tools/cv_oracle.py).
     """
-    if ext is None:
-        ext = max_r
+    nbins_per_dr = 10
+    nbins = int(round((max_r - min_r) / dr * nbins_per_dr))
+    ext = max_r
     win = 2 * ext + 1
-    u = np.arange(win)[:, None] - ext - cdy - 0.5
-    v = np.arange(win)[None, :] - ext - cdx - 0.5
-    d = np.sqrt(u * u + v * v)
-    keep = (d * d >= min_r * min_r) & (d * d <= max_r * max_r)
-    centres = np.arange(2 * min_r, 2 * max_r + 1) * 0.5  # minR, minR+.5, ...
-    nb = len(centres)
-    onehot = np.zeros((win * win, nb), np.float32)
-    df = d.ravel()
-    kf = keep.ravel()
-    for b, c in enumerate(centres):
-        onehot[:, b] = ((df >= c - 0.5) & (df < c + 0.5) & kf).astype(np.float32)
-    dist = (df * kf).astype(np.float32)
-    return onehot, dist, win, nb
+    # pixel at window cell (u, v) sits at centre + (u-ext, v-ext); cv2
+    # measures from (centre_x + 0.5, centre_y + 0.5)
+    off = np.arange(win, dtype=np.float32) - np.float32(ext)
+    dyy = (np.float32(0.5) - off)[:, None]
+    dxx = (np.float32(0.5) - off)[None, :]
+    r2 = (dxx * dxx + dyy * dyy).astype(np.float32)
+    sel = (r2 >= np.float32(min_r * min_r)) & (r2 <= np.float32(max_r * max_r))
+    d = np.sqrt(r2, dtype=np.float32)
+    b = np.rint((d - np.float32(min_r)) / np.float32(dr)
+                * nbins_per_dr).astype(np.int64)
+    np.clip(b, 0, nbins - 1, out=b)
+    onehot = np.zeros((win * win, nbins), np.float32)
+    onehot[np.arange(win * win), b.ravel()] = sel.ravel().astype(np.float32)
+    return onehot, win, nbins
 
 
-def estimate_radii(edge_mask, ys, xs, min_r: int, max_r: int,
-                   acc_threshold: float):
-    """Most-supported radius per candidate centre (OpenCV's run scan,
-    approximated with unit-width distance bins scored by support/radius).
+def _hist10_scan(counts, min_r: int, dr: float = 1.0):
+    """cv2's run scan over the radius histogram, vectorized across
+    candidates.
 
-    Returns (r_best [K] f32, supported [K] bool).
+    The C++ loop walks bins from large radii down; each nonempty bin j > 0
+    anchors a run of the next 10 bins (the 11th below is skipped entirely),
+    rCur is the run's bin-index midpoint, and a run replaces the best when
+    curCount*rBest >= maxCount*rCur (the first run always wins via the
+    FLT_EPSILON clause). Anchors are data-dependent, but every anchor
+    consumes >= 11 bins of walk, so a fixed ceil((nbins-1)/11)-iteration
+    loop with a masked highest-nonempty-bin reduction reproduces the scan
+    exactly. counts [..., nbins] f32 integer values.
+    Returns (r_best [...], max_count [...]) f32.
     """
-    onehot_np, dist_np, win, nb = _radius_tables(min_r, max_r)
-    onehot = jnp.asarray(onehot_np)
-    dist = jnp.asarray(dist_np)
-    pad = max_r
-    ep = jnp.pad(edge_mask.astype(jnp.float32), ((pad, pad), (pad, pad)))
+    nbins_per_dr = 10
+    nbins = counts.shape[-1]
+    csum = jnp.cumsum(counts, axis=-1)
+    iota = jnp.arange(nbins, dtype=jnp.int32)
+    nonempty = counts > 0
+    shape = counts.shape[:-1]
+    j0 = jnp.full(shape, nbins - 1, jnp.int32)
+    r0 = jnp.zeros(shape, jnp.float32)
+    c0 = jnp.zeros(shape, jnp.float32)
+    n_iter = (nbins - 2) // (nbins_per_dr + 1) + 1
 
-    def one(y, x):
-        w = jax.lax.dynamic_slice(ep, (y, x), (win, win)).reshape(-1)
-        counts = w @ onehot  # [nb]
-        dsums = (w * dist) @ onehot
-        r_rep = jnp.where(counts > 0, dsums / jnp.maximum(counts, 1.0), 1.0)
-        score = jnp.where(counts > 0, counts / r_rep, -1.0)
-        # ties favour the smaller radius: OpenCV scans runs from large r to
-        # small and replaces on >=, so the smallest-r max-score run wins;
-        # argmax's first-occurrence rule does the same on ascending bands
-        best = jnp.argmax(score)
-        return r_rep[best], counts[best] > acc_threshold
+    def body(_, state):
+        j, r_best, max_count = state
+        mask = nonempty & (iota >= 1) & (iota <= j[..., None])
+        anchor = jnp.max(jnp.where(mask, iota, -1), axis=-1)
+        has = anchor >= 0
+        # run = bins [anchor-9, anchor] (clipped at 0); the inner while
+        # leaves j at anchor-10 (or -1), which feeds the midpoint radius
+        j_after = jnp.maximum(anchor - nbins_per_dr, -1)
+        top = jnp.take_along_axis(csum, jnp.maximum(anchor, 0)[..., None],
+                                  -1)[..., 0]
+        lo = jnp.take_along_axis(csum, jnp.maximum(j_after, 0)[..., None],
+                                 -1)[..., 0]
+        cnt = top - jnp.where(j_after >= 0, lo, 0.0)
+        r_cur = ((anchor + j_after).astype(jnp.float32) / 2.0
+                 / nbins_per_dr * dr + min_r)
+        better = has & (
+            (cnt * r_best >= max_count * r_cur)
+            | ((r_best < 1.19e-7) & (cnt >= max_count))
+        )
+        r_best = jnp.where(better, r_cur, r_best)
+        max_count = jnp.where(better, cnt, max_count)
+        # outer loop decrements past j_after before the next bin test
+        j = jnp.where(has, anchor - (nbins_per_dr + 1), -1)
+        return j, r_best, max_count
 
-    # chunk the candidate axis (same OOM concern as exact_rescore)
-    K = ys.shape[0]
-    C = min(32, K)
-    ys_p, xs_p = ys, xs
-    if K % C:
-        padn = C - K % C
-        ys_p = jnp.concatenate([ys, jnp.zeros((padn,), ys.dtype)])
-        xs_p = jnp.concatenate([xs, jnp.zeros((padn,), xs.dtype)])
-    r_best, supported = jax.lax.map(
-        lambda a: jax.vmap(one)(a[0], a[1]),
-        (ys_p.reshape(-1, C), xs_p.reshape(-1, C)),
-    )
-    return r_best.reshape(-1)[:K], supported.reshape(-1)[:K]
+    _, r_best, max_count = jax.lax.fori_loop(0, n_iter, body, (j0, r0, c0))
+    return r_best, max_count
 
 
-def greedy_min_dist(ys, xs, valid, supported, min_dist: float):
-    """Sequential acceptance in vote order with centre spacing >= min_dist.
+def greedy_min_dist(ys, xs, live, min_dist: float):
+    """Sequential acceptance in the GIVEN order with centre spacing >=
+    min_dist (cv2's overlap removal over the support-sorted candidates).
 
     Candidates too close to an already-accepted circle are skipped; skipped
-    or unsupported candidates do not block later ones (OpenCV semantics).
+    or dead candidates do not block later ones (OpenCV semantics).
     """
     K = ys.shape[0]
     md2 = min_dist * min_dist
     fy = ys.astype(jnp.float32)
     fx = xs.astype(jnp.float32)
     # the loop is inherently sequential, but positions beyond the last
-    # valid candidate can never flip; stop there (dynamic bound — valid
-    # candidates are not necessarily a prefix after the vote sort)
+    # live candidate can never flip; stop there (live is a prefix after
+    # circle_finalize's sort, but stay correct for any order)
     K_i = jnp.arange(K)
-    n_live = jnp.max(jnp.where(valid, K_i, -1)) + 1
+    n_live = jnp.max(jnp.where(live, K_i, -1)) + 1
 
     def body(i, accepted):
         d2 = (fy - fy[i]) ** 2 + (fx - fx[i]) ** 2
         clash = jnp.any(accepted & (K_i < i) & (d2 < md2))
-        ok = valid[i] & supported[i] & jnp.logical_not(clash)
-        return accepted.at[i].set(ok)
+        return accepted.at[i].set(live[i] & jnp.logical_not(clash))
 
     return jax.lax.fori_loop(0, n_live, body, jnp.zeros((K,), jnp.bool_))
 
@@ -618,32 +602,33 @@ def circle_votes(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
 
         return exact_rescore_pallas(emask, sx, sy, ys, xs, min_r, max_r,
                                     valid=valid, cells=cells)
-    patch, _r, _s = exact_rescore(
+    return exact_rescore(
         emask, sx, sy, ys, xs, min_r, max_r, cells=cells, valid=valid,
-        with_radius=False,
     )
-    return patch
 
 
 def circle_recentre(patch, ys, xs, valid, acc_threshold: float, H: int, W: int,
                     hw=None):
-    """Stage 2b: recentre on the best candidate cell of the exact-vote
-    patch, OpenCV NMS + threshold, sort by exact votes (desc, ties by
-    y-major flat index).
+    """Stage 2b: emit EVERY cell of each proposal's central 3x3 that passes
+    OpenCV's candidate test on the exact votes.
 
     With a 5x5 patch (the pipeline path) every cell of the central 3x3 has
-    all four neighbours in-patch, so OpenCV's candidate test (votes >
-    threshold, > left, >= right, > up, >= down) is evaluated EXACTLY for
-    each of the 9 reachable recentre positions; the highest-voted passing
-    cell wins (ties to the smaller y-major index = OpenCV's scan order).
-    With a legacy 3x3 patch (diagnostic tools) the argmax cell is checked
-    with out-of-patch neighbours assumed passing.
+    all four neighbours in-patch, so OpenCV's test (votes > threshold,
+    > left, >= right, > up, >= down, cell in the accumulator interior) is
+    evaluated EXACTLY for each of the 9 reachable positions. ALL passing
+    cells are emitted — not just the best: under cv2's modern selection
+    (support-sorted, see circle_finalize) a lower-VOTED neighbouring peak
+    can outrank a higher-voted one by radius support, so every exact NMS
+    peak within reach of a proposal must survive to the radius stage.
+    The same peak emitted by several overlapping patches yields duplicate
+    rows; they sort adjacently in circle_finalize (identical keys) and the
+    greedy pass drops the extras at distance 0.
 
     hw=(h, w): content dims inside the canvas — OpenCV scans accumulator
-    cells in [1, h-2] x [1, w-2] only, so recentred cells outside that
-    interior are rejected (5x5 path).
+    cells in [1, h-2] x [1, w-2] only.
 
-    Returns (ys_c, xs_c, exact_votes, valid2), all vote-order sorted.
+    Returns (ys_c, xs_c, exact_votes, valid2), each [K*9] for the 5x5
+    path ([K] for the legacy argmax 3x3 path used by diagnostics).
     """
     K, cells = patch.shape[0], patch.shape[1]
     flat = patch.reshape(K, -1)
@@ -662,47 +647,38 @@ def circle_recentre(patch, ys, xs, valid, acc_threshold: float, H: int, W: int,
         cy = ys[:, None] + offy[None, :]
         cx = xs[:, None] + offx[None, :]
         interior = (cy >= 1) & (cy <= h - 2) & (cx >= 1) & (cx <= w - 2)
-        ok = nms_ok & (v > acc_threshold) & interior
-        sel = jnp.where(ok, v, -1.0)
-        best = jnp.argmax(sel, axis=1)  # first occurrence = y-major order
-        exact_votes = jnp.take_along_axis(v, best[:, None], axis=1)[:, 0]
-        ys_c = jnp.clip(
-            jnp.take_along_axis(cy, best[:, None], axis=1)[:, 0], 0, H - 1
-        )
-        xs_c = jnp.clip(
-            jnp.take_along_axis(cx, best[:, None], axis=1)[:, 0], 0, W - 1
-        )
-        valid2 = valid & jnp.any(ok, axis=1)
-    else:
-        best_cell = jnp.argmax(flat, axis=1)
-        exact_votes = jnp.take_along_axis(flat, best_cell[:, None], axis=1)[:, 0]
-        py, px = best_cell // 3, best_cell % 3
+        ok = valid[:, None] & nms_ok & (v > acc_threshold) & interior
+        ys_c = jnp.clip(cy, 0, H - 1).reshape(-1)
+        xs_c = jnp.clip(cx, 0, W - 1).reshape(-1)
+        return ys_c, xs_c, v.reshape(-1), ok.reshape(-1)
+    best_cell = jnp.argmax(flat, axis=1)
+    exact_votes = jnp.take_along_axis(flat, best_cell[:, None], axis=1)[:, 0]
+    py, px = best_cell // 3, best_cell % 3
 
-        # OpenCV's NMS pattern on the exact votes, where the patch shows the
-        # neighbour: > left, >= right, > up, >= down (out-of-patch passes)
-        def nbr(dy_, dx_, fallback):
-            yy, xx = py + dy_, px + dx_
-            inside = (yy >= 0) & (yy < 3) & (xx >= 0) & (xx < 3)
-            idx = jnp.clip(yy, 0, 2) * 3 + jnp.clip(xx, 0, 2)
-            nv = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
-            return jnp.where(inside, nv, fallback)
+    # OpenCV's NMS pattern on the exact votes, where the patch shows the
+    # neighbour: > left, >= right, > up, >= down (out-of-patch passes)
+    def nbr(dy_, dx_, fallback):
+        yy, xx = py + dy_, px + dx_
+        inside = (yy >= 0) & (yy < 3) & (xx >= 0) & (xx < 3)
+        idx = jnp.clip(yy, 0, 2) * 3 + jnp.clip(xx, 0, 2)
+        nv = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+        return jnp.where(inside, nv, fallback)
 
-        nms_ok = (
-            (exact_votes > nbr(0, -1, -1.0))
-            & (exact_votes >= nbr(0, 1, -1.0))
-            & (exact_votes > nbr(-1, 0, -1.0))
-            & (exact_votes >= nbr(1, 0, -1.0))
-        )
-        ys_c = jnp.clip(ys + py - 1, 0, H - 1)
-        xs_c = jnp.clip(xs + px - 1, 0, W - 1)
-        valid2 = valid & (exact_votes > acc_threshold) & nms_ok
-    order = jnp.lexsort((ys_c * W + xs_c, -exact_votes.astype(jnp.int32)))
-    return ys_c[order], xs_c[order], exact_votes[order], valid2[order]
+    nms_ok = (
+        (exact_votes > nbr(0, -1, -1.0))
+        & (exact_votes >= nbr(0, 1, -1.0))
+        & (exact_votes > nbr(-1, 0, -1.0))
+        & (exact_votes >= nbr(1, 0, -1.0))
+    )
+    ys_c = jnp.clip(ys + py - 1, 0, H - 1)
+    xs_c = jnp.clip(xs + px - 1, 0, W - 1)
+    valid2 = valid & (exact_votes > acc_threshold) & nms_ok
+    return ys_c, xs_c, exact_votes, valid2
 
 
 def radius_support_pool(emask_planes, ys, xs, want, min_r: int, max_r: int,
                         chunk: int | None = None):
-    """Radius estimate + band support at given centres, for a POOL of
+    """cv2 radius estimate + run support at given centres, for a POOL of
     planes — cost proportional to the number of `want` candidates.
 
     emask_planes [P, H, W] bool; ys/xs/want [P, K]. The pool is flattened,
@@ -712,17 +688,17 @@ def radius_support_pool(emask_planes, ys, xs, want, min_r: int, max_r: int,
     is exactly how detect_board/_batch call it (the pool axis IS the
     batch x variant axis, outside any vmap).
 
-    Radius semantics match exact_rescore's fused estimate at the recentred
-    cell: same _radius_tables bands, distances measured from the centre
-    +0.5, ties to the smaller radius. Returns (r_best [P, K] f32,
-    support [P, K] f32), zeros where not wanted.
+    Radius semantics are OpenCV 4.x/5.x HoughCircleEstimateRadiusInvoker:
+    a 10-bins-per-dr histogram over f32 edge-pixel distances from
+    (cx+.5, cy+.5) — built here as one MXU matmul against a static one-hot
+    (_hist10_tables) — scanned by _hist10_scan. Returns (r_best [P, K]
+    f32, support [P, K] f32 run counts), zeros where not wanted.
     """
     P, H, W = emask_planes.shape
     K = ys.shape[1]
     N = P * K
-    onehot_np, dist_np, win, nb = _radius_tables(min_r, max_r)
+    onehot_np, win, _nb = _hist10_tables(min_r, max_r)
     onehot = jnp.asarray(onehot_np)
-    distoh = jnp.asarray(dist_np[:, None] * onehot_np)
     pad = max_r
     ep = jnp.pad(emask_planes.astype(jnp.float32),
                  ((0, 0), (pad, pad), (pad, pad)))
@@ -744,22 +720,19 @@ def radius_support_pool(emask_planes, ys, xs, want, min_r: int, max_r: int,
         C //= 2
     assert C >= 1
 
-    def one(p, y, x):
-        w = jax.lax.dynamic_slice(ep, (p, y, x), (1, win, win)).reshape(-1)
-        counts = w @ onehot  # [nb]
-        dsums = w @ distoh
-        r_rep = jnp.where(counts > 0, dsums / jnp.maximum(counts, 1.0), 1.0)
-        score = jnp.where(counts > 0, counts / r_rep, -1.0)
-        # ties favour the smaller radius (OpenCV's >= replace on a large-
-        # to-small run scan == argmax first-occurrence on ascending bands)
-        best = jnp.argmax(score)
-        return r_rep[best], counts[best]
+    def window(p, y, x):
+        return jax.lax.dynamic_slice(ep, (p, y, x), (1, win, win)).reshape(-1)
+
+    def run_chunk(cp, cy, cx):
+        w = jax.vmap(window)(cp, cy, cx)   # [C, win*win]
+        counts = w @ onehot                # [C, nbins] — integer f32 (MXU)
+        return _hist10_scan(counts, min_r)
 
     def maybe_chunk(args):
         cp, cy, cx, any_want = args
         zeros = (jnp.zeros((C,), jnp.float32), jnp.zeros((C,), jnp.float32))
         return jax.lax.cond(
-            any_want, lambda: jax.vmap(one)(cp, cy, cx), lambda: zeros
+            any_want, lambda: run_chunk(cp, cy, cx), lambda: zeros
         )
 
     chunk_want = jnp.any(gw.reshape(-1, C), axis=1)
@@ -776,28 +749,36 @@ def radius_support_pool(emask_planes, ys, xs, want, min_r: int, max_r: int,
 
 def circle_finalize(ys_c, xs_c, valid2, r_best, support, acc_threshold: float,
                     min_dist: float, max_out: int):
-    """Stage 3: greedy minDist acceptance in vote order + compaction.
+    """Stage 3, cv2 4.x/5.x flow: keep supported candidates
+    (run count > param2), sort ALL of them by (support desc, radius desc,
+    cx asc, cy asc), then greedy minDist overlap removal in that order.
 
-    Returns (circles [max_out, 3] f32 as (cx, cy, r) with OpenCV's +0.5 px
-    centre offset, valid [max_out] bool).
+    Duplicate recentred cells carry identical keys; the stable sort keeps
+    their incoming (vote) order and the greedy pass drops the later one at
+    distance 0. Returns (circles [max_out, 3] f32 as (cx, cy, r) with
+    OpenCV's +0.5 px centre offset, valid [max_out] bool), compacted in
+    cv2's acceptance order.
     """
-    supported = support > acc_threshold
-    accepted = greedy_min_dist(ys_c, xs_c, valid2, supported, min_dist)
-    order = jnp.argsort(jnp.logical_not(accepted), stable=True)[:max_out]
-    out_valid = accepted[order]
-    cx = xs_c[order].astype(jnp.float32) + 0.5
-    cy = ys_c[order].astype(jnp.float32) + 0.5
-    rr = r_best[order]
-    circles = jnp.stack([cx, cy, rr], axis=1)
-    circles = jnp.where(out_valid[:, None], circles, 0.0)
-    return circles, out_valid
+    supported = valid2 & (support > acc_threshold)
+    s_key = jnp.where(supported, support, -1.0)
+    order = jnp.lexsort((ys_c, xs_c, -r_best, -s_key))
+    ys_s = ys_c[order]
+    xs_s = xs_c[order]
+    r_s = r_best[order]
+    accepted = greedy_min_dist(ys_s, xs_s, supported[order], min_dist)
+    keep = jnp.argsort(jnp.logical_not(accepted), stable=True)[:max_out]
+    out_valid = accepted[keep]
+    cx = xs_s[keep].astype(jnp.float32) + 0.5
+    cy = ys_s[keep].astype(jnp.float32) + 0.5
+    circles = jnp.stack([cx, cy, r_s[keep]], axis=1)
+    return jnp.where(out_valid[:, None], circles, 0.0), out_valid
 
 
 def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
                            min_dist: float, min_r: int, max_r: int,
                            num_bins: int, top_k: int, max_out: int,
                            hysteresis_iters: int = 24, hw=None,
-                           use_pallas: bool = False, cells: int = 3):
+                           use_pallas: bool = False, cells: int = 5):
     """Full HOUGH_GRADIENT on one [H, W] uint8 image (stage composition).
 
     Returns (circles [max_out, 3] f32 as (cx, cy, r), valid [max_out] bool).

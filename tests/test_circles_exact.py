@@ -40,10 +40,9 @@ def test_exact_rescore_matches_brute_force_walk(cells):
     sy = (np.rint(1024 * np.sin(ang)).astype(np.int32)) * emask
     ys = rng.integers(5, H - 5, 12)
     xs = rng.integers(5, W - 5, 12)
-    patch, _r, _s = exact_rescore(
+    patch = exact_rescore(
         jnp.asarray(emask), jnp.asarray(sx), jnp.asarray(sy),
         jnp.asarray(ys), jnp.asarray(xs), 1, 30, cells,
-        with_radius=False,
     )
     got = np.asarray(patch)
     for i in range(12):
@@ -72,8 +71,8 @@ def test_pallas_rescore_matches_xla(cells):
         exact_rescore(
             jnp.asarray(emask), jnp.asarray(sx), jnp.asarray(sy),
             jnp.asarray(ys), jnp.asarray(xs), 1, 30, cells,
-            valid=jnp.asarray(valid), with_radius=False,
-        )[0]
+            valid=jnp.asarray(valid),
+        )
     )
     got = np.asarray(
         exact_rescore_pallas(
@@ -103,40 +102,111 @@ def test_pallas_cascade_matches_xla():
     np.testing.assert_array_equal(got, want)
 
 
-def test_radius_pool_matches_fused_estimate():
-    """radius_support_pool at the recentred position == exact_rescore's
-    fused 9-cell radius estimate selected at the best cell (the pooled
-    stage replaced the fused one; both use _radius_tables and distances
-    measured from centre+0.5, so values must be identical)."""
-    from img2sgf_tpu.hough.circles import exact_rescore, radius_support_pool
+def _hist10_numpy(emask, cy, cx, min_r, max_r, dr=1.0):
+    """Reference scalar transcription of cv2 4.x/5.x's radius estimator
+    (HoughCircleEstimateRadiusInvoker): f32 distances from (cx+.5, cy+.5),
+    a 10-bins-per-dr histogram, and the large-to-small anchored run scan
+    with the 11th-bin skip. Validated float-exact against cv2 5.0
+    per-variant circle output (tools/cv_oracle.py)."""
+    nzy, nzx = np.nonzero(emask)
+    fx = np.float32(cx + 0.5) - nzx.astype(np.float32)
+    fy = np.float32(cy + 0.5) - nzy.astype(np.float32)
+    r2 = fx * fx + fy * fy
+    sel = (r2 >= np.float32(min_r * min_r)) & (r2 <= np.float32(max_r * max_r))
+    dists = np.sqrt(r2[sel], dtype=np.float32)
+    nbins_per_dr = 10
+    nbins = int(round((max_r - min_r) / dr * nbins_per_dr))
+    bins = np.zeros(max(nbins, 1), np.int64)
+    b = np.rint((dists - np.float32(min_r)) / np.float32(dr)
+                * nbins_per_dr).astype(np.int64)
+    np.clip(b, 0, nbins - 1, out=b)
+    np.add.at(bins, b, 1)
+    r_best = 0.0
+    max_count = 0
+    j = nbins - 1
+    while j > 0:
+        if bins[j]:
+            upbin = j
+            cur_count = 0
+            while j > upbin - nbins_per_dr and j >= 0:
+                cur_count += int(bins[j])
+                j -= 1
+            r_cur = (upbin + j) / 2.0 / nbins_per_dr * dr + min_r
+            if (cur_count * r_best >= max_count * r_cur
+                    or (r_best < 1.19e-7 and cur_count >= max_count)):
+                r_best = r_cur
+                max_count = cur_count
+        j -= 1
+    return np.float32(r_best), max_count
+
+
+def test_radius_pool_matches_cv2_hist10():
+    """radius_support_pool == the scalar cv2 radius-histogram reference,
+    exactly (radius and run count), on dense random edge maps."""
+    from img2sgf_tpu.hough.circles import radius_support_pool
 
     rng = np.random.default_rng(5)
     H = W = 128
     K = 24
     emask = rng.random((H, W)) < 0.12
-    ang = rng.uniform(0, 2 * np.pi, (H, W))
-    sx = (np.rint(1024 * np.cos(ang)).astype(np.int32)) * emask
-    sy = (np.rint(1024 * np.sin(ang)).astype(np.int32)) * emask
+    # a few synthetic rings so real runs (not just noise) are scanned
+    yy, xx = np.mgrid[0:H, 0:W]
+    for (ry, rx, rr) in ((40, 40, 11), (80, 90, 23), (64, 64, 5)):
+        d = np.sqrt((yy - ry) ** 2 + (xx - rx) ** 2)
+        emask |= np.abs(d - rr) < 0.6
     ys = rng.integers(34, H - 34, K)
     xs = rng.integers(34, W - 34, K)
+    ys[:3], xs[:3] = (40, 80, 64), (40, 90, 64)  # on-ring centres
 
-    patch, r9, s9 = exact_rescore(
-        jnp.asarray(emask), jnp.asarray(sx), jnp.asarray(sy),
-        jnp.asarray(ys), jnp.asarray(xs), 1, 30, 3, with_radius=True,
-    )
-    flat = np.asarray(patch).reshape(K, 9)
-    best = flat.argmax(axis=1)
-    want_r = np.asarray(r9)[np.arange(K), best]
-    want_s = np.asarray(s9)[np.arange(K), best]
-
-    ys_c = ys + best // 3 - 1
-    xs_c = xs + best % 3 - 1
     got_r, got_s = radius_support_pool(
-        jnp.asarray(emask)[None], jnp.asarray(ys_c)[None],
-        jnp.asarray(xs_c)[None], jnp.ones((1, K), bool), 1, 30, chunk=8,
+        jnp.asarray(emask)[None], jnp.asarray(ys)[None],
+        jnp.asarray(xs)[None], jnp.ones((1, K), bool), 1, 30, chunk=8,
     )
-    np.testing.assert_allclose(np.asarray(got_r)[0], want_r, rtol=1e-6)
-    np.testing.assert_array_equal(np.asarray(got_s)[0], want_s)
+    for i in range(K):
+        want_r, want_c = _hist10_numpy(emask, int(ys[i]), int(xs[i]), 1, 30)
+        np.testing.assert_allclose(
+            np.asarray(got_r)[0, i], want_r, rtol=2e-7,
+            err_msg=f"candidate {i} radius")
+        assert int(np.asarray(got_s)[0, i]) == want_c, f"candidate {i} count"
+
+
+def test_finalize_matches_cv2_selection():
+    """circle_finalize == cv2's modern selection: supported candidates
+    sorted by (support desc, r desc, cx asc, cy asc), then greedy minDist
+    removal — checked against a scalar transcription with heavy ties."""
+    import jax
+
+    from img2sgf_tpu.hough.circles import circle_finalize
+
+    rng = np.random.default_rng(13)
+    K = 96
+    ys = rng.integers(0, 60, K).astype(np.int32)
+    xs = rng.integers(0, 60, K).astype(np.int32)
+    r = (rng.integers(2, 8, K) * 2.5).astype(np.float32)
+    support = rng.integers(28, 36, K).astype(np.float32)  # ties + gating
+    valid = rng.random(K) < 0.85
+    thr, min_dist = 30.0, 10.0
+
+    circles, ok = jax.jit(
+        lambda y, x, v, rr, s: circle_finalize(y, x, v, rr, s, thr,
+                                               min_dist, K)
+    )(jnp.asarray(ys), jnp.asarray(xs), jnp.asarray(valid),
+      jnp.asarray(r), jnp.asarray(support))
+
+    est = [
+        (float(xs[i] + 0.5), float(ys[i] + 0.5), float(r[i]),
+         float(support[i]), i)
+        for i in range(K) if valid[i] and support[i] > thr
+    ]
+    est.sort(key=lambda t: (-t[3], -t[2], t[0], t[1]))
+    want = []
+    for (cx, cy, rr_, _s, _i) in est:
+        if all((ax - cx) ** 2 + (ay - cy) ** 2 >= min_dist ** 2
+               for (ax, ay, _ar) in want):
+            want.append((cx, cy, rr_))
+    got = [tuple(map(float, c)) for c, o in zip(np.asarray(circles),
+                                                np.asarray(ok)) if o]
+    assert got == want
 
 
 def test_paired_topk_matches_direct():
@@ -183,10 +253,10 @@ def test_paired_topk_matches_direct():
 
 def test_recentre_5x5_true_nms_semantics():
     """circle_recentre on a 5x5 patch == plain-numpy OpenCV NMS over the
-    central 3x3: a cell is a centre iff votes > threshold, > left,
-    >= right, > up, >= down (all four neighbours known in-patch) and the
-    cell lies in the accumulator interior [1, h-2] x [1, w-2]; the
-    highest-voted passing cell wins, ties to the smaller y-major index."""
+    central 3x3: EVERY cell with votes > threshold, > left, >= right,
+    > up, >= down (all four neighbours known in-patch) that lies in the
+    accumulator interior [1, h-2] x [1, w-2] is emitted (multiset —
+    neighbouring proposals may emit the same peak twice)."""
     import jax
 
     from img2sgf_tpu.hough.circles import circle_recentre
@@ -205,40 +275,26 @@ def test_recentre_5x5_true_nms_semantics():
     )(jnp.asarray(patch), jnp.asarray(ys), jnp.asarray(xs),
       jnp.asarray(valid))
 
-    ref = {}
+    want = []
     for i in range(K):
-        best = None
+        if not valid[i]:
+            continue
         for py in (1, 2, 3):
             for px in (1, 2, 3):
                 v = patch[i, py, px]
                 cy, cx = ys[i] + py - 2, xs[i] + px - 2
                 if not (1 <= cy <= H - 2 and 1 <= cx <= W - 2):
                     continue
-                if not (
+                if (
                     v > thr
                     and v > patch[i, py, px - 1]
                     and v >= patch[i, py, px + 1]
                     and v > patch[i, py - 1, px]
                     and v >= patch[i, py + 1, px]
                 ):
-                    continue
-                if best is None or v > best[0]:
-                    best = (v, cy, cx)
-        ref[i] = best if valid[i] else None
+                    want.append((cy, cx, float(v)))
 
-    got = {
-        (int(y), int(x)): (float(v), bool(ok))
-        for y, x, v, ok in zip(
-            np.asarray(got_y), np.asarray(got_x),
-            np.asarray(got_v), np.asarray(got_ok),
-        )
-    }
-    # the function sorts its outputs; compare per-candidate by re-running
-    # unsorted semantics: count accepted and match the accepted set
-    want_accepted = sorted(
-        (b[1], b[2], b[0]) for b in ref.values() if b is not None
-    )
-    got_accepted = sorted(
+    got = sorted(
         (int(y), int(x), float(v))
         for y, x, v, ok in zip(
             np.asarray(got_y), np.asarray(got_x),
@@ -246,4 +302,4 @@ def test_recentre_5x5_true_nms_semantics():
         )
         if ok
     )
-    assert got_accepted == want_accepted
+    assert got == sorted(want)

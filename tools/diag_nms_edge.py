@@ -68,10 +68,9 @@ def main(args):
         sx, sy = pixel_steps(dx, dy)
         sx = jnp.where(emask, sx, 0)
         sy = jnp.where(emask, sy, 0)
-        patch, _, _ = jax.jit(
+        patch = jax.jit(
             lambda e, a, b, y, x: exact_rescore(
-                e, a, b, y, x, cfg.circle_min_radius, cfg.circle_max_radius,
-                with_radius=False)
+                e, a, b, y, x, cfg.circle_min_radius, cfg.circle_max_radius)
         )(emask, sx, sy, ys, xs)
         p = np.asarray(patch)[:K]
         c = p[:, 1, 1]

@@ -90,7 +90,7 @@ def main():
 
     # circle-stage internals
     from img2sgf_tpu.hough.circles import (
-        centre_candidates, estimate_radii, exact_rescore, greedy_min_dist,
+        centre_candidates, exact_rescore, greedy_min_dist,
         pixel_steps, vote_accumulator,
     )
     from img2sgf_tpu.ops.sobel import sobel3
@@ -126,7 +126,7 @@ def main():
     bench_one("  circ: rescore+radii", jax.jit(B(B(resc))), fronts[0], fronts[1], fronts[2], ys, xs)
     bench_one(
         "  circ: greedy",
-        jax.jit(B(B(lambda y, x: greedy_min_dist(y, x, y > 0, x > 0, 10.0)))),
+        jax.jit(B(B(lambda y, x: greedy_min_dist(y, x, (y > 0) & (x > 0), 10.0)))),
         ys, xs,
     )
     bench_one("hough_circles(x10)", jax.jit(B(B(circ))), variants)
