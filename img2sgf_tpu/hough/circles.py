@@ -676,6 +676,105 @@ def circle_recentre(patch, ys, xs, valid, acc_threshold: float, H: int, W: int,
     return ys_c, xs_c, exact_votes, valid2
 
 
+def provisional_ring(patch, ys, xs, valid, acc_threshold: float, H: int,
+                     W: int, budget: int, hw=None):
+    """Outer-ring (cheb-2) cells of each 5x5 exact-vote patch that pass the
+    PARTIAL OpenCV candidate test (votes > threshold; strict/non-strict
+    neighbour comparisons using in-patch values, out-of-patch neighbours
+    assumed passing; accumulator interior).
+
+    Cascade smear can displace an approximate peak 2 px from the exact
+    accumulator peak (measured: 7 of ~4700 cv2-accepted peaks across the
+    fixtures sit at Chebyshev distance 2 from every proposal, none
+    further), so the +-1 emission reach of circle_recentre misses them.
+    The partial test alone may accept false peaks (the unknown neighbour
+    might dominate), so survivors get a second exact-vote pass at
+    cells=3, which sees all four neighbours and decides the full test —
+    see circle_candidates. Returns (ys_p, xs_p, valid_p) each [budget],
+    compacted by descending votes (a plain top_k: validity is encoded as
+    score > 0, and vote order makes truncation drop the least-supported
+    ring cells first if the budget ever saturates).
+    """
+    K = patch.shape[0]
+    flat = patch.reshape(K, 25)
+    h, w = (H, W) if hw is None else hw
+    ring = np.array([i * 5 + j for i in range(5) for j in range(5)
+                     if i in (0, 4) or j in (0, 4)])  # 16 cells
+
+    def nbr(off):
+        """Neighbour votes for each ring cell; -1 (always passes) when the
+        neighbour falls outside the 5x5 patch."""
+        cols = []
+        for c in ring:
+            i, j = divmod(int(c), 5)
+            ni, nj = i + off[0], j + off[1]
+            cols.append(ni * 5 + nj if 0 <= ni < 5 and 0 <= nj < 5 else -1)
+        known = np.array([c >= 0 for c in cols])
+        idx = np.array([max(c, 0) for c in cols])
+        vals = flat[:, idx]
+        return jnp.where(jnp.asarray(known)[None, :], vals, -1.0)
+
+    v = flat[:, ring]
+    ok = (
+        (v > acc_threshold)
+        & (v > nbr((0, -1)))
+        & (v >= nbr((0, 1)))
+        & (v > nbr((-1, 0)))
+        & (v >= nbr((1, 0)))
+    )
+    offy = jnp.asarray(ring // 5 - 2, jnp.int32)
+    offx = jnp.asarray(ring % 5 - 2, jnp.int32)
+    cy = ys[:, None] + offy[None, :]
+    cx = xs[:, None] + offx[None, :]
+    interior = (cy >= 1) & (cy <= h - 2) & (cx >= 1) & (cx <= w - 2)
+    ok = valid[:, None] & ok & interior
+    score = jnp.where(ok, v, -1.0).reshape(-1)
+    top, idx = jax.lax.top_k(score, budget)
+    ys_p = jnp.clip(cy.reshape(-1)[idx], 0, H - 1)
+    xs_p = jnp.clip(cx.reshape(-1)[idx], 0, W - 1)
+    return ys_p, xs_p, top > 0.0
+
+
+def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
+                      acc_threshold: float, H: int, W: int, hw=None,
+                      use_pallas: bool = False, prov_budget: int = 512):
+    """Stages 2a-2c: exact candidate extraction around the proposals.
+
+    1. 5x5 exact-vote patches (circle_votes) + multi-emission recentre:
+       every exact accumulator NMS peak within +-1 of a proposal.
+    2. Provisional outer-ring cells (+-2, partial test) verified by a
+       second cells=3 exact-vote pass that sees all four neighbours —
+       recovers peaks the cascade displaced by 2 px.
+
+    Returns (ys_c, xs_c, votes, valid2) each [K*9 + prov_budget].
+    """
+    patch = circle_votes(emask, sx, sy, ys, xs, valid, min_r, max_r,
+                         use_pallas=use_pallas, cells=5)
+    ys_c, xs_c, votes_c, ok_c = circle_recentre(
+        patch, ys, xs, valid, acc_threshold, H, W, hw=hw)
+    ys_p, xs_p, valid_p = provisional_ring(
+        patch, ys, xs, valid, acc_threshold, H, W, prov_budget, hw=hw)
+    patch3 = circle_votes(emask, sx, sy, ys_p, xs_p, valid_p, min_r, max_r,
+                          use_pallas=use_pallas, cells=3)
+    c = patch3[:, 1, 1]
+    h, w = (H, W) if hw is None else hw
+    ok_p = (
+        valid_p
+        & (c > acc_threshold)
+        & (c > patch3[:, 1, 0])
+        & (c >= patch3[:, 1, 2])
+        & (c > patch3[:, 0, 1])
+        & (c >= patch3[:, 2, 1])
+        & (ys_p >= 1) & (ys_p <= h - 2) & (xs_p >= 1) & (xs_p <= w - 2)
+    )
+    return (
+        jnp.concatenate([ys_c, ys_p]),
+        jnp.concatenate([xs_c, xs_p]),
+        jnp.concatenate([votes_c, c]),
+        jnp.concatenate([ok_c, ok_p]),
+    )
+
+
 def radius_support_pool(emask_planes, ys, xs, want, min_r: int, max_r: int,
                         chunk: int | None = None):
     """cv2 radius estimate + run support at given centres, for a POOL of
@@ -787,13 +886,12 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
     block, candidate NMS scans its interior, and results match native size.
     """
     H, W = img_u8.shape
+    assert cells == 5, "the cv2-exact candidate flow requires 5x5 patches"
     st = circle_propose(img_u8, canny_high, acc_threshold, min_r, max_r,
                         num_bins, top_k, hysteresis_iters, hw=hw)
-    patch = circle_votes(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"],
-                         st["valid"], min_r, max_r, use_pallas=use_pallas,
-                         cells=cells)
-    ys_c, xs_c, votes, valid2 = circle_recentre(
-        patch, st["ys"], st["xs"], st["valid"], acc_threshold, H, W, hw=hw
+    ys_c, xs_c, votes, valid2 = circle_candidates(
+        st["emask"], st["sx"], st["sy"], st["ys"], st["xs"], st["valid"],
+        min_r, max_r, acc_threshold, H, W, hw=hw, use_pallas=use_pallas,
     )
     r_best, support = radius_support_pool(
         st["emask"][None], ys_c[None], xs_c[None], valid2[None], min_r, max_r

@@ -26,8 +26,7 @@ from ..grid.identify import identify_board
 from ..hough.circles import (
     circle_finalize,
     circle_propose,
-    circle_recentre,
-    circle_votes,
+    circle_candidates,
     radius_support_pool,
 )
 from ..hough.erase import erase_circles
@@ -168,28 +167,25 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes):
         st = jax.tree_util.tree_map(
             lambda x: x.reshape(P, *x.shape[2:]), st
         )
-    with jax.named_scope("circle_votes"):
-        patch = jax.vmap(
-            lambda e, a, b, y, x, v: circle_votes(
-                e, a, b, y, x, v, cfg.circle_min_radius,
-                cfg.circle_max_radius, use_pallas=use_pallas,
-                cells=cfg.rescore_cells,
-            )
-        )(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"], st["valid"])
-    with jax.named_scope("circle_recentre"):
+    with jax.named_scope("circle_candidates"):
         if hw_planes is None:
             ys_c, xs_c, votes, valid2 = jax.vmap(
-                lambda p, y, x, v: circle_recentre(
-                    p, y, x, v, cfg.circle_acc_threshold, H, W
+                lambda e, a, b, y, x, v: circle_candidates(
+                    e, a, b, y, x, v, cfg.circle_min_radius,
+                    cfg.circle_max_radius, cfg.circle_acc_threshold, H, W,
+                    use_pallas=use_pallas,
                 )
-            )(patch, st["ys"], st["xs"], st["valid"])
+            )(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"],
+              st["valid"])
         else:
             ys_c, xs_c, votes, valid2 = jax.vmap(
-                lambda p, y, x, v, h, w: circle_recentre(
-                    p, y, x, v, cfg.circle_acc_threshold, H, W, hw=(h, w)
+                lambda e, a, b, y, x, v, h, w: circle_candidates(
+                    e, a, b, y, x, v, cfg.circle_min_radius,
+                    cfg.circle_max_radius, cfg.circle_acc_threshold, H, W,
+                    hw=(h, w), use_pallas=use_pallas,
                 )
-            )(patch, st["ys"], st["xs"], st["valid"],
-              hw_planes[0], hw_planes[1])
+            )(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"],
+              st["valid"], hw_planes[0], hw_planes[1])
     with jax.named_scope("circle_radius"):
         r_best, support = radius_support_pool(
             st["emask"], ys_c, xs_c, valid2,

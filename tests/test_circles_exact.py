@@ -102,6 +102,87 @@ def test_pallas_cascade_matches_xla():
     np.testing.assert_array_equal(got, want)
 
 
+def _full_accumulator(emask, sx, sy, min_r, max_r):
+    """Brute-force exact centre-vote accumulator (the full-image analogue
+    of _brute): every edge pixel walks both directions at all radii with
+    the 10-bit fixed-point steps."""
+    H, W = emask.shape
+    acc = np.zeros((H, W))
+    for py, px in zip(*np.nonzero(emask)):
+        for sign in (1, -1):
+            for r in range(min_r, max_r + 1):
+                ly = py + ((r * sign * sy[py, px]) >> 10)
+                lx = px + ((r * sign * sx[py, px]) >> 10)
+                if 0 <= ly < H and 0 <= lx < W:
+                    acc[ly, lx] += 1
+    return acc
+
+
+def test_circle_candidates_recovers_cheb2_peaks():
+    """circle_candidates == the full-accumulator OpenCV candidate scan,
+    restricted to peaks within Chebyshev distance 2 of a proposal: every
+    such peak is emitted with its exact votes (the ±2 ring cells travel
+    through the provisional partial test + cells=3 exact verification),
+    and nothing that fails the true 4-neighbour NMS test survives."""
+    import jax
+
+    from img2sgf_tpu.hough.circles import circle_candidates
+
+    rng = np.random.default_rng(17)
+    H = W = 96
+    thr = 8.0
+    emask = rng.random((H, W)) < 0.12
+    ang = rng.uniform(0, 2 * np.pi, (H, W))
+    sx = (np.rint(1024 * np.cos(ang)).astype(np.int32)) * emask
+    sy = (np.rint(1024 * np.sin(ang)).astype(np.int32)) * emask
+
+    acc = _full_accumulator(emask, sx, sy, 1, 30)
+    is_peak = np.zeros((H, W), bool)
+    for cy in range(1, H - 1):
+        for cx in range(1, W - 1):
+            v = acc[cy, cx]
+            is_peak[cy, cx] = (
+                v > thr
+                and v > acc[cy, cx - 1] and v >= acc[cy, cx + 1]
+                and v > acc[cy - 1, cx] and v >= acc[cy + 1, cx]
+            )
+    peaks = np.argwhere(is_peak)
+    assert len(peaks) >= 5, "fixture too sparse to exercise the test"
+
+    # proposals: true peaks displaced by 0..2 in each axis (the cascade
+    # smear cases), plus junk proposals nowhere near a peak
+    K = 64
+    ys = rng.integers(3, H - 3, K).astype(np.int32)
+    xs = rng.integers(3, W - 3, K).astype(np.int32)
+    for i, (py, px) in enumerate(peaks[: K - 8]):
+        dy_, dx_ = rng.integers(-2, 3, 2)
+        ys[i] = np.clip(py + dy_, 0, H - 1)
+        xs[i] = np.clip(px + dx_, 0, W - 1)
+    valid = np.ones(K, bool)
+    valid[-4:] = False
+
+    got_y, got_x, got_v, got_ok = jax.jit(
+        lambda e, a, b, y, x, v: circle_candidates(
+            e, a, b, y, x, v, 1, 30, thr, H, W)
+    )(jnp.asarray(emask), jnp.asarray(sx), jnp.asarray(sy),
+      jnp.asarray(ys), jnp.asarray(xs), jnp.asarray(valid))
+    got = {
+        (int(y), int(x)): float(v)
+        for y, x, v, ok in zip(np.asarray(got_y), np.asarray(got_x),
+                               np.asarray(got_v), np.asarray(got_ok))
+        if ok
+    }
+
+    want = set()
+    for (py, px) in peaks:
+        d = np.maximum(np.abs(ys[valid] - py), np.abs(xs[valid] - px))
+        if d.min() <= 2:
+            want.add((int(py), int(px)))
+    assert set(got) == want
+    for (cy, cx), v in got.items():
+        assert v == acc[cy, cx], f"votes mismatch at {(cy, cx)}"
+
+
 def _hist10_numpy(emask, cy, cx, min_r, max_r, dr=1.0):
     """Reference scalar transcription of cv2 4.x/5.x's radius estimator
     (HoughCircleEstimateRadiusInvoker): f32 distances from (cx+.5, cy+.5),
