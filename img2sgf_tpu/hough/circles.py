@@ -166,12 +166,27 @@ def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int,
     """
     # the cascade only feeds the (already approximate) proposal stage; the
     # exact per-offset chain below remains for A/B and radius spans that
-    # don't divide into segments. (A VMEM-resident Pallas cascade exists
-    # in cascade_pallas.py but measures SLOWER than this XLA chain —
-    # dynamic lane rotates dominate — so it stays experimental;
-    # `use_pallas` is accepted for signature parity with the other stages.)
-    del use_pallas
+    # don't divide into segments. On TPU the dihedral-folded Pallas
+    # cascade (cascade_fold_pallas.py) replaces the XLA chain when its
+    # whole padded plane fits VMEM; it is bit-exact vs the XLA cascade.
+    # (cascade_pallas.py is the earlier dynamic-rotate attempt — slower
+    # than XLA, kept as measured history.)
     if (max_r - min_r + 1) % 5 == 0:
+        H, W = edge_mask.shape
+        pad2 = 2 * (max_r + 3)
+        vmem_est = (H + pad2) * (-(-(W + pad2) // 128) * 128) * 12
+        # opt-in until its Mosaic compile time is validated on-device: a
+        # pathological compile on the bench path is worse than the XLA
+        # chain's throughput (set IMG2SGF_FOLD_CASCADE=0 to disable)
+        import os
+
+        fold_ok = os.environ.get("IMG2SGF_FOLD_CASCADE", "") == "1"
+        if fold_ok and use_pallas and num_bins % 4 == 0 and vmem_est <= (13 << 20):
+            from .cascade_fold_pallas import vote_accumulator_cascade_folded
+
+            return vote_accumulator_cascade_folded(
+                edge_mask, dx, dy, num_bins, min_r, max_r
+            )
         return vote_accumulator_cascade(edge_mask, dx, dy, num_bins, min_r, max_r)
 
     ang = jnp.arctan2(dy.astype(jnp.float32), dx.astype(jnp.float32))
