@@ -67,6 +67,16 @@ class DetectionConfig:
     max_grid_lines: int = 64            # max cluster centres per axis
     num_angle_bins: int = 64            # gradient-direction bins for circle voting
     max_center_candidates: int = 1024    # accumulator peaks considered per variant
+    max_ring_candidates: int = 512      # provisional +-2 ring cells verified
+    #                                     per variant (hough.circles
+    #                                     .provisional_ring budget)
+    propose_block: int = 1              # proposal compaction: keep the top
+    #                                     cell per BxB block of the masked
+    #                                     cascade accumulator before top_k
+    #                                     (1 = every NMS maximum competes;
+    #                                     >1 spends the candidate budget on
+    #                                     distinct regions instead of
+    #                                     clusters of near-duplicate maxima)
     hysteresis_iters: int = 24          # Canny hysteresis sweep iterations
     rescore_cells: int = 5              # exact-vote patch width (3 or 5; 5 =
     #                                     true-NMS multi-emission recentre —

@@ -221,12 +221,21 @@ def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int,
     return acc
 
 
-def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None):
+def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
+                      block: int = 1):
     """Accumulator local maxima > threshold, descending vote order.
 
     Returns (ys, xs, votes, valid) each [top_k]. Border cells excluded
     (OpenCV scans y, x in [1, size-2]); with hw=(h, w) the scan bound is
     the content block, not the canvas.
+
+    block > 1: keep only the strongest maximum per (block x block) tile
+    before ranking. This spends the fixed candidate budget on DISTINCT
+    regions: on dense scans thousands of near-duplicate junk maxima
+    otherwise crowd real (weaker) circle peaks out of the top_k, and the
+    exact-rescore stage recovers any true peak within +-2 of a proposal
+    anyway (circle_candidates), so one representative per tile suffices.
+    Also shrinks the top_k input by block^2.
     """
     H, W = acc.shape
     h, w = (H, W) if hw is None else hw
@@ -245,6 +254,20 @@ def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None):
         & (acc >= down)
         & interior
     )
+    if block > 1:
+        b = block
+        Hb, Wb = -(-H // b), -(-W // b)
+        s = jnp.full((Hb * b, Wb * b), -1.0, acc.dtype)
+        s = s.at[:H, :W].set(jnp.where(is_max, acc, -1.0))
+        tiles = s.reshape(Hb, b, Wb, b).transpose(0, 2, 1, 3).reshape(-1, b * b)
+        bmax = jnp.max(tiles, axis=1)
+        barg = jnp.argmax(tiles, axis=1)  # first max = scan order in tile
+        votes, bidx = jax.lax.top_k(bmax, top_k)
+        cell = jnp.take(barg, bidx)
+        ys = (bidx // Wb) * b + cell // b
+        xs = (bidx % Wb) * b + cell % b
+        valid = votes > 0
+        return jnp.minimum(ys, H - 1), jnp.minimum(xs, W - 1), votes, valid
     score = jnp.where(is_max, acc, -1.0).reshape(-1)
     if W % 2 == 0:
         # lossless 2x shrink before the (sort-bound) top_k: two
@@ -569,7 +592,7 @@ def greedy_min_dist(ys, xs, live, min_dist: float):
 def circle_propose(img_u8, canny_high: float, acc_threshold: float,
                    min_r: int, max_r: int, num_bins: int, top_k: int,
                    hysteresis_iters: int = 24, hw=None,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False, block: int = 1):
     """Stage 1: edges + gradient steps + approximate-accumulator proposals.
 
     Returns dict(emask, sx, sy, ys, xs, valid). A lower threshold (0.5x)
@@ -592,7 +615,8 @@ def circle_propose(img_u8, canny_high: float, acc_threshold: float,
                            use_pallas=use_pallas)
     # 0.5x: margin for direction-quantization + cascade rounding smear;
     # stage 2 restores exact votes so extra proposals only cost rescore work
-    ys, xs, votes, valid = centre_candidates(acc, 0.5 * acc_threshold, top_k, hw=hw)
+    ys, xs, votes, valid = centre_candidates(acc, 0.5 * acc_threshold, top_k,
+                                             hw=hw, block=block)
     sx, sy = pixel_steps(dx, dy)
     return dict(
         emask=emask,

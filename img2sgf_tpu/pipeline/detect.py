@@ -141,6 +141,7 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes):
             cfg.circle_min_radius, cfg.circle_max_radius,
             cfg.num_angle_bins, cfg.max_center_candidates,
             cfg.hysteresis_iters, hw=hw, use_pallas=use_pallas,
+            block=cfg.propose_block,
         )
 
     # chunk the plane axis: one fused XLA program over all B*V planes
@@ -174,6 +175,7 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes):
                     e, a, b, y, x, v, cfg.circle_min_radius,
                     cfg.circle_max_radius, cfg.circle_acc_threshold, H, W,
                     use_pallas=use_pallas,
+                    prov_budget=cfg.max_ring_candidates,
                 )
             )(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"],
               st["valid"])
@@ -183,6 +185,7 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes):
                     e, a, b, y, x, v, cfg.circle_min_radius,
                     cfg.circle_max_radius, cfg.circle_acc_threshold, H, W,
                     hw=(h, w), use_pallas=use_pallas,
+                    prov_budget=cfg.max_ring_candidates,
                 )
             )(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"],
               st["valid"], hw_planes[0], hw_planes[1])

@@ -354,6 +354,51 @@ def test_paired_topk_matches_direct():
     )
 
 
+def test_block_compacted_candidates():
+    """centre_candidates(block=4) == numpy reference: strongest NMS
+    maximum per 4x4 tile (scan-order tiebreak inside the tile), tiles
+    ranked by vote desc / tile-index asc."""
+    import jax
+
+    from img2sgf_tpu.hough.circles import centre_candidates
+
+    rng = np.random.default_rng(29)
+    H, W, K, b = 60, 100, 48, 4  # non-multiples of b exercise the pad
+    acc = jnp.asarray(rng.integers(0, 6, (H, W)).astype(np.float32))
+
+    ys, xs, votes, valid = jax.jit(
+        lambda a: centre_candidates(a, 1.0, K, block=b)
+    )(acc)
+
+    a = np.asarray(acc)
+    is_max = (a > 1.0)
+    is_max[:, 1:] &= a[:, 1:] > a[:, :-1]
+    is_max[:, :-1] &= a[:, :-1] >= a[:, 1:]
+    is_max[1:, :] &= a[1:, :] > a[:-1, :]
+    is_max[:-1, :] &= a[:-1, :] >= a[1:, :]
+    is_max[0, :] = is_max[-1, :] = False
+    is_max[:, 0] = is_max[:, -1] = False
+    score = np.where(is_max, a, -1.0)
+    Hb, Wb = -(-H // b), -(-W // b)
+    s = np.full((Hb * b, Wb * b), -1.0, np.float32)
+    s[:H, :W] = score
+    tiles = s.reshape(Hb, b, Wb, b).transpose(0, 2, 1, 3).reshape(-1, b * b)
+    bmax = tiles.max(axis=1)
+    barg = tiles.argmax(axis=1)
+    order = np.lexsort((np.arange(len(bmax)), -bmax))[:K]
+    want = [
+        ((i // Wb) * b + barg[i] // b, (i % Wb) * b + barg[i] % b, bmax[i])
+        for i in order if bmax[i] > 0
+    ]
+    got = [
+        (int(y), int(x), float(v))
+        for y, x, v, ok in zip(np.asarray(ys), np.asarray(xs),
+                               np.asarray(votes), np.asarray(valid))
+        if ok
+    ]
+    assert got == [(int(y), int(x), float(v)) for (y, x, v) in want]
+
+
 def test_recentre_5x5_true_nms_semantics():
     """circle_recentre on a 5x5 patch == plain-numpy OpenCV NMS over the
     central 3x3: EVERY cell with votes > threshold, > left, >= right,
