@@ -70,6 +70,17 @@ class DetectionConfig:
     max_ring_candidates: int = 512      # provisional +-2 ring cells verified
     #                                     per variant (hough.circles
     #                                     .provisional_ring budget)
+    overflow_center_candidates: int = 6144  # big-budget rerun capacity when a
+    #                                     plane SATURATES the base candidate
+    #                                     budget (every slot valid => real
+    #                                     maxima may have been truncated).
+    #                                     Dense scans need ~5.3k slots for
+    #                                     cv2-parity (measured worst: ex5);
+    #                                     sparse images never saturate, so a
+    #                                     lax.cond pays for the big pass only
+    #                                     when needed (pipeline.detect
+    #                                     ._circles_pooled). <= base disables.
+    overflow_ring_candidates: int = 3072  # ring budget inside the big pass
     propose_block: int = 1              # proposal compaction: keep the top
     #                                     cell per BxB block of the masked
     #                                     cascade accumulator before top_k

@@ -785,7 +785,10 @@ def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
        second cells=3 exact-vote pass that sees all four neighbours —
        recovers peaks the cascade displaced by 2 px.
 
-    Returns (ys_c, xs_c, votes, valid2) each [K*9 + prov_budget].
+    Returns (ys_c, xs_c, votes, valid2, ring_sat): the first four
+    [K*9 + prov_budget]; ring_sat is a scalar bool — the ring budget
+    filled completely, so partial-pass cells may have been truncated
+    (callers use it to trigger the big-budget overflow pass).
     """
     patch = circle_votes(emask, sx, sy, ys, xs, valid, min_r, max_r,
                          use_pallas=use_pallas, cells=5)
@@ -811,6 +814,7 @@ def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
         jnp.concatenate([xs_c, xs_p]),
         jnp.concatenate([votes_c, c]),
         jnp.concatenate([ok_c, ok_p]),
+        valid_p[-1],
     )
 
 
@@ -928,7 +932,7 @@ def hough_circles_gradient(img_u8, canny_high: float, acc_threshold: float,
     assert cells == 5, "the cv2-exact candidate flow requires 5x5 patches"
     st = circle_propose(img_u8, canny_high, acc_threshold, min_r, max_r,
                         num_bins, top_k, hysteresis_iters, hw=hw)
-    ys_c, xs_c, votes, valid2 = circle_candidates(
+    ys_c, xs_c, votes, valid2, _ring_sat = circle_candidates(
         st["emask"], st["sx"], st["sy"], st["ys"], st["xs"], st["valid"],
         min_r, max_r, acc_threshold, H, W, hw=hw, use_pallas=use_pallas,
     )

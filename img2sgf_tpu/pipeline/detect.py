@@ -124,22 +124,29 @@ def _pre_circles(rgb_u8, cfg: DetectionConfig, hw):
     return grey, edges, variants
 
 
-def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes):
+def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes,
+                       top_k: int | None = None,
+                       prov_budget: int | None = None):
     """Circle detection over a pool of [P, H, W] planes.
 
     Stages 1-2 (propose, exact patch votes, recentre/NMS) are vmapped per
     plane; the radius/support stage runs over the FLAT pool so its chunked
     skip-dead-work branch stays outside any vmap (see radius_support_pool).
-    Returns (circles [P, max_out, 3], valid [P, max_out]).
+    top_k / prov_budget override the config capacities (the overflow pass).
+    Returns (circles [P, max_out, 3], valid [P, max_out], sat [P] bool) —
+    sat flags planes whose proposal or ring budget filled completely, i.e.
+    real candidates may have been truncated.
     """
     H, W = planes.shape[-2], planes.shape[-1]
     use_pallas = _use_pallas_rescore(cfg, H, W)
+    top_k = cfg.max_center_candidates if top_k is None else top_k
+    prov_budget = cfg.max_ring_candidates if prov_budget is None else prov_budget
 
     def propose(img, hw):
         return circle_propose(
             img, cfg.circle_canny_high, cfg.circle_acc_threshold,
             cfg.circle_min_radius, cfg.circle_max_radius,
-            cfg.num_angle_bins, cfg.max_center_candidates,
+            cfg.num_angle_bins, top_k,
             cfg.hysteresis_iters, hw=hw, use_pallas=use_pallas,
             block=cfg.propose_block,
         )
@@ -170,22 +177,22 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes):
         )
     with jax.named_scope("circle_candidates"):
         if hw_planes is None:
-            ys_c, xs_c, votes, valid2 = jax.vmap(
+            ys_c, xs_c, votes, valid2, ring_sat = jax.vmap(
                 lambda e, a, b, y, x, v: circle_candidates(
                     e, a, b, y, x, v, cfg.circle_min_radius,
                     cfg.circle_max_radius, cfg.circle_acc_threshold, H, W,
                     use_pallas=use_pallas,
-                    prov_budget=cfg.max_ring_candidates,
+                    prov_budget=prov_budget,
                 )
             )(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"],
               st["valid"])
         else:
-            ys_c, xs_c, votes, valid2 = jax.vmap(
+            ys_c, xs_c, votes, valid2, ring_sat = jax.vmap(
                 lambda e, a, b, y, x, v, h, w: circle_candidates(
                     e, a, b, y, x, v, cfg.circle_min_radius,
                     cfg.circle_max_radius, cfg.circle_acc_threshold, H, W,
                     hw=(h, w), use_pallas=use_pallas,
-                    prov_budget=cfg.max_ring_candidates,
+                    prov_budget=prov_budget,
                 )
             )(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"],
               st["valid"], hw_planes[0], hw_planes[1])
@@ -201,7 +208,40 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes):
                 cfg.circle_min_dist, cfg.max_circles_per_variant,
             )
         )(ys_c, xs_c, valid2, r_best, support)
-    return circles, valid
+    # a full last proposal slot means top_k may have truncated real maxima
+    sat = st["valid"][:, -1] | ring_sat
+    return circles, valid, sat
+
+
+def _circles_pooled(planes, cfg: DetectionConfig, hw_planes):
+    """_circles_on_planes with saturation-gated overflow.
+
+    Dense scans (ex5-class: thousands of junk accumulator maxima crowding
+    real peaks) need a much larger proposal budget than clean diagrams for
+    cv2 parity (measured worst needed vote-order rank: ~5.3k on ex5, vs
+    <200 on typical diagrams). Static budgets can't be content-adaptive,
+    but compute can: run the base-budget pipeline, and IF any plane filled
+    its proposal or ring budget completely, rerun the circle stages at the
+    big budget under a lax.cond (a real branch here — no surrounding
+    vmap), keeping the big result. Sparse planes never saturate, so the
+    fast path's runtime cost is the saturation test alone; unsaturated
+    planes produce identical circles under either budget (the valid
+    candidate set is the same, selection is a pure function of it).
+    """
+    circles, valid, sat = _circles_on_planes(planes, cfg, hw_planes)
+    kb = cfg.overflow_center_candidates
+    if kb <= cfg.max_center_candidates:
+        return circles, valid
+
+    def big():
+        c, v, _ = _circles_on_planes(
+            planes, cfg, hw_planes, top_k=kb,
+            prov_budget=max(cfg.overflow_ring_candidates,
+                            cfg.max_ring_candidates),
+        )
+        return c, v
+
+    return jax.lax.cond(jnp.any(sat), big, lambda: (circles, valid))
 
 
 def _post_circles(grey, edges, circles, circles_valid, cfg: DetectionConfig,
@@ -315,7 +355,7 @@ def detect_board(rgb_u8, cfg: DetectionConfig, line_threshold=None,
     grey, edges, variants = _pre_circles(rgb_u8, cfg, hw)
     keep, expand = _variant_dedup(cfg, variants.shape[0])
     planes = variants[jnp.asarray(keep)]
-    vcircles_u, vvalid_u = _circles_on_planes(
+    vcircles_u, vvalid_u = _circles_pooled(
         planes, cfg, _hw_pool(hw, len(keep))
     )
     vcircles = vcircles_u[jnp.asarray(expand)]
@@ -392,7 +432,7 @@ def _detect_batch_impl(rgb_u8_batch, cfg: DetectionConfig, line_thresholds,
         hwp = None
     else:
         hwp = (jnp.repeat(hs, Vu), jnp.repeat(ws, Vu))
-    vcirc_u, vval_u = _circles_on_planes(pool, cfg, hwp)
+    vcirc_u, vval_u = _circles_pooled(pool, cfg, hwp)
     vcirc = vcirc_u.reshape(B, Vu, -1, 3)[:, jnp.asarray(expand)]
     vval = vval_u.reshape(B, Vu, -1)[:, jnp.asarray(expand)]
     circles = vcirc.reshape(B, -1, 3)

@@ -20,6 +20,7 @@ from test_pipeline_smoke import synth_board
 
 TINY = DetectionConfig(
     max_center_candidates=128,
+    overflow_center_candidates=0,  # keep one compiled budget branch (CPU)
     max_circles_per_variant=32,
     max_lines=256,
     hysteresis_iters=8,

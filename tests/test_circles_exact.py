@@ -161,7 +161,7 @@ def test_circle_candidates_recovers_cheb2_peaks():
     valid = np.ones(K, bool)
     valid[-4:] = False
 
-    got_y, got_x, got_v, got_ok = jax.jit(
+    got_y, got_x, got_v, got_ok, _sat = jax.jit(
         lambda e, a, b, y, x, v: circle_candidates(
             e, a, b, y, x, v, 1, 30, thr, H, W)
     )(jnp.asarray(emask), jnp.asarray(sx), jnp.asarray(sy),

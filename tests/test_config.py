@@ -27,6 +27,7 @@ def test_line_threshold_field_is_the_default_threshold():
     cfg = DetectionConfig(
         line_threshold=37,
         max_center_candidates=32,
+        overflow_center_candidates=0,
         max_circles_per_variant=16,
         max_lines=64,
         hysteresis_iters=4,

@@ -12,6 +12,7 @@ from img2sgf_tpu.parallel import aggregate_metrics, data_mesh, make_sharded_dete
 
 TINY = DetectionConfig(
     max_center_candidates=32,
+    overflow_center_candidates=0,  # keep one compiled budget branch (CPU)
     max_circles_per_variant=16,
     max_lines=128,
     hysteresis_iters=4,

@@ -20,6 +20,7 @@ TINY = DetectionConfig(
     # (see test_stones_classified) compete with the real stones for
     # stage-1 slots; 64 is below what the image needs (default is 1024)
     max_center_candidates=256,
+    overflow_center_candidates=0,  # keep one compiled budget branch (CPU)
     max_circles_per_variant=32,
     max_lines=256,
     hysteresis_iters=8,
@@ -89,3 +90,51 @@ def test_batch_matches_single(result):
     np.testing.assert_array_equal(
         np.asarray(bres.full_board[0]), np.asarray(bres.full_board[1])
     )
+
+
+def test_overflow_budget_gating():
+    """Saturation-gated overflow (_circles_pooled): a plane that fills the
+    base candidate budget triggers the big-budget rerun under lax.cond, and
+    the result is bit-identical to running the big budget directly; an
+    unsaturated pool's result is unchanged by enabling overflow."""
+    from img2sgf_tpu.pipeline.detect import (
+        _circles_on_planes, _circles_pooled, _pre_circles, _variant_dedup,
+    )
+
+    def planes_of(im, c):
+        _, _, variants = _pre_circles(jnp.asarray(im), c, None)
+        keep, _ = _variant_dedup(c, variants.shape[0])
+        return variants[jnp.asarray(keep)]
+
+    rng = np.random.default_rng(5)
+    noisy = rng.integers(0, 256, (96, 96, 3)).astype(np.uint8)
+    cfg = DetectionConfig(
+        max_center_candidates=16, overflow_center_candidates=96,
+        max_ring_candidates=16, overflow_ring_candidates=64,
+        max_circles_per_variant=16, hysteresis_iters=4,
+    )
+    planes = jax.jit(lambda im: planes_of(im, cfg))(noisy)
+    _, _, sat = jax.jit(lambda p: _circles_on_planes(p, cfg, None))(planes)
+    assert bool(jnp.any(sat)), "noise fixture no longer saturates 16 slots"
+    got_c, got_v = jax.jit(lambda p: _circles_pooled(p, cfg, None))(planes)
+    want_c, want_v = jax.jit(
+        lambda p: _circles_on_planes(p, cfg, None, top_k=96,
+                                     prov_budget=64)[:2]
+    )(planes)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+
+    # unsaturated: the cond takes the base branch; results identical to the
+    # overflow-disabled config
+    clean = synth_board(size=96, n=5, stones=((1, 1, 0),))
+    cfg2 = cfg.replace(max_center_candidates=1024,
+                       overflow_center_candidates=2048,
+                       max_ring_candidates=512)
+    planes2 = jax.jit(lambda im: planes_of(im, cfg2))(clean)
+    base_c, base_v, sat2 = jax.jit(
+        lambda p: _circles_on_planes(p, cfg2, None)
+    )(planes2)
+    assert not bool(jnp.any(sat2)), "clean synthetic unexpectedly saturates"
+    on_c, on_v = jax.jit(lambda p: _circles_pooled(p, cfg2, None))(planes2)
+    np.testing.assert_array_equal(np.asarray(on_v), np.asarray(base_v))
+    np.testing.assert_array_equal(np.asarray(on_c), np.asarray(base_c))
