@@ -88,7 +88,14 @@ class DetectionConfig:
     #                                     >1 spends the candidate budget on
     #                                     distinct regions instead of
     #                                     clusters of near-duplicate maxima)
-    hysteresis_iters: int = 24          # Canny hysteresis sweep iterations
+    hysteresis_iters: int = 256         # Canny hysteresis sweep bound. Both
+    #                                     the XLA and Pallas sweeps early-exit
+    #                                     on convergence (while_loop), so the
+    #                                     bound is runtime-free for converged
+    #                                     images; it must sit above the
+    #                                     worst-case fixture (ex17 at
+    #                                     1193x1135 needs >24, <=64 sweeps —
+    #                                     24 left 152 wrong edge pixels)
     rescore_cells: int = 5              # exact-vote patch width (3 or 5; 5 =
     #                                     true-NMS multi-emission recentre —
     #                                     REQUIRED for cv2-exact selection

@@ -124,8 +124,8 @@ def hysteresis(strong, cand, iters: int):
     return edge.astype(jnp.bool_)
 
 
-def canny(img_u8, low: float, high: float, l2gradient: bool = False, iters: int = 24,
-          hw=None):
+def canny(img_u8, low: float, high: float, l2gradient: bool = False,
+          iters: int = 256, hw=None):
     """cv.Canny parity on a [H, W] or [H, W, C] uint8 image. Returns uint8
     {0, 255} edge map.
 
