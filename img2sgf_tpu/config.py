@@ -62,7 +62,15 @@ class DetectionConfig:
 
     # --- TPU static-shape capacity knobs (not present in the reference; the
     # reference uses dynamic Python lists, we use fixed-capacity arrays+counts)
-    max_circles_per_variant: int = 192  # top-K circles kept per blur variant
+    max_circles_per_variant: int = 384  # accepted circles kept per blur
+    #                                     variant. Must exceed the densest
+    #                                     fixture's per-variant cv2 accept
+    #                                     count (measured worst: ex3 v5 =
+    #                                     214; 192 truncated it). Cost of
+    #                                     headroom is small: finalize's
+    #                                     greedy runs over the candidate
+    #                                     pool either way, this only sizes
+    #                                     the output arrays.
     max_lines: int = 512                # max Hough line intercepts per direction
     max_grid_lines: int = 64            # max cluster centres per axis
     num_angle_bins: int = 64            # gradient-direction bins for circle voting

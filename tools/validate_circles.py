@@ -145,26 +145,43 @@ def main(args):
                 score["A"][1] += 1
 
             if mode in ("B", "all"):
+                # the SHIPPED candidate flow (cascade propose -> exact 5x5
+                # recentre -> provisional +-2 ring -> pooled radius ->
+                # finalize), but fed cv2's own edge mask and Sobel planes:
+                # isolates proposal recall from edge parity
                 from img2sgf_tpu.hough.circles import (
-                    centre_candidates, vote_accumulator,
+                    centre_candidates, circle_candidates, circle_finalize,
+                    radius_support_pool, vote_accumulator,
                 )
                 dxs = cv.Sobel(plane, cv.CV_16S, 1, 0, ksize=3)
                 dys = cv.Sobel(plane, cv.CV_16S, 0, 1, ksize=3)
 
                 @jax.jit
-                def propose(e, dx, dy):
+                def shipped(e, dx, dy, sxj, syj):
                     a = vote_accumulator(e, dx, dy, cfg.num_angle_bins,
                                          cfg.circle_min_radius,
                                          cfg.circle_max_radius)
-                    return centre_candidates(
+                    ys_j, xs_j, _v, v_j = centre_candidates(
                         a, 0.5 * cfg.circle_acc_threshold,
                         cfg.max_center_candidates)
+                    ys_c, xs_c, _votes, ok, _sat = circle_candidates(
+                        e, sxj, syj, ys_j, xs_j, v_j,
+                        cfg.circle_min_radius, cfg.circle_max_radius,
+                        cfg.circle_acc_threshold, H, W,
+                        prov_budget=cfg.max_ring_candidates)
+                    r_best, support = radius_support_pool(
+                        e[None], ys_c[None], xs_c[None], ok[None],
+                        cfg.circle_min_radius, cfg.circle_max_radius)
+                    return circle_finalize(
+                        ys_c, xs_c, ok, r_best[0], support[0],
+                        cfg.circle_acc_threshold, cfg.circle_min_dist,
+                        cfg.max_circles_per_variant)
 
-                ys_j, xs_j, _votes, v_j = propose(
+                circles_b, ok_b = shipped(
                     jnp.asarray(emask), jnp.asarray(dxs.astype(np.int32)),
-                    jnp.asarray(dys.astype(np.int32)))
-                got = run_stages(emask, sx, sy, np.asarray(ys_j),
-                                 np.asarray(xs_j), np.asarray(v_j), cfg, H, W)
+                    jnp.asarray(dys.astype(np.int32)), jnp.asarray(sx),
+                    jnp.asarray(sy))
+                got = np.asarray(circles_b)[np.asarray(ok_b)]
                 score["B"][0] += compare("B", got, ref)
                 score["B"][1] += 1
 
