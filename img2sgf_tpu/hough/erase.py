@@ -5,9 +5,18 @@ rectangle over the bounding box grown by 2 px (inclusive corners, like
 cv.rectangle), then a filled radius-1 circle (a 5-pixel diamond, verified
 against cv.circle) in white at the rounded centre.
 
-TPU-native: instead of a per-circle Python loop, the union of all boxes is
-computed as an outer-product OR — rows[H, C] @ cols[C, W] on the MXU —
-and the dots as a second rank-C outer product. No scatter, no loops.
+The reference paints rect-then-dot per circle IN ORDER, so a later
+circle's black box overpaints earlier circles' white dots. That layering
+matters: on dense scans dozens of dots land inside later boxes, and
+keeping them white seeds junk Hough lines (ex17's grid rejection). Order
+is restored without a sequential loop: a dot pixel stays white iff no
+LATER valid circle's box covers it — a [C, 5, C] pairwise interval test
+reduced over the later axis. Boxes are order-free (black on black) and
+dots are order-free among themselves (white on white).
+
+TPU-native: the union of all boxes is computed as an outer-product OR —
+rows[H, C] @ cols[C, W] on the MXU — and the surviving dots as a second
+rank-C outer product. No scatter, no loops.
 """
 
 from __future__ import annotations
@@ -40,13 +49,31 @@ def erase_circles(edges_u8, circles_xyr, valid, hw=None):
     ).astype(jnp.float32)  # [C, W]
     boxed = (rows.T @ cols) > 0  # [H, W]
 
-    # centre dots: 5-px diamond at (round(xc), round(yc))
+    # centre dots: 5-px diamond at (round(xc), round(yc)). A dot pixel
+    # survives iff no LATER circle's box covers it (reference paints
+    # rect-then-dot per circle in list order, img2sgf.py:191-198).
     cxi = jnp.round(xc)
     cyi = jnp.round(yc)
+    offs = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
+    dy = jnp.asarray([o[0] for o in offs], jnp.float32)
+    dx = jnp.asarray([o[1] for o in offs], jnp.float32)
+    py = cyi[:, None] + dy[None, :]  # [C, 5]
+    px = cxi[:, None] + dx[None, :]
+    idx = jnp.arange(valid.shape[0])
+    later = valid[None, None, :] & (idx[None, None, :] > idx[:, None, None])
+    covered = jnp.any(
+        later
+        & (py[:, :, None] >= y0[None, None, :])
+        & (py[:, :, None] <= y1[None, None, :])
+        & (px[:, :, None] >= x0[None, None, :])
+        & (px[:, :, None] <= x1[None, None, :]),
+        axis=2,
+    )  # [C, 5]
+    dot_live = valid[:, None] & jnp.logical_not(covered)
     dot = jnp.zeros((H, W), jnp.bool_)
-    for dy, dx in ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)):
-        drow = ((ys[None, :] == (cyi[:, None] + dy)) & valid[:, None]).astype(jnp.float32)
-        dcol = (xs[None, :] == (cxi[:, None] + dx)).astype(jnp.float32)
+    for k, (oy, ox) in enumerate(offs):
+        drow = ((ys[None, :] == (cyi[:, None] + oy)) & dot_live[:, k : k + 1]).astype(jnp.float32)
+        dcol = (xs[None, :] == (cxi[:, None] + ox)).astype(jnp.float32)
         dot = dot | ((drow.T @ dcol) > 0)
 
     out = jnp.where(boxed, jnp.uint8(0), edges_u8)

@@ -1,8 +1,10 @@
 """Per-stage timing of the STAGED batched pipeline, sync-floor corrected.
 
-Every timed call on the axon tunnel pays a ~28 ms host-sync round trip;
-this profiler measures that floor first and subtracts it from every
-stage figure. Usage:
+Every host sync on the axon tunnel pays a ~28-50 ms round trip, so timing
+one rep per sync drowns small stages in floor noise. Instead each
+measurement queues `reps` async dispatches and syncs ONCE at the end
+(device executions serialize in order), so the floor is paid once and
+divided by reps. Usage:
 
   python tools/profile_batched.py [size] [batch]
 """
@@ -27,15 +29,16 @@ def _materialize(out):
     return float(jnp.sum(leaf.astype(jnp.float32)))
 
 
-def bench_one(name, fn, *args, reps=5):
+def bench_one(name, fn, *args, reps=10):
     out = fn(*args)
     _materialize(out)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-        _materialize(out)
-    dt = (time.perf_counter() - t0) / reps * 1e3 - _FLOOR_MS
-    print(f"{name:26s} {dt:9.2f} ms", flush=True)
+    for _ in range(reps - 1):
+        fn(*args)  # async dispatch; device executions serialize in order
+    out = fn(*args)
+    _materialize(out)  # one sync for the whole train
+    dt = ((time.perf_counter() - t0) * 1e3 - _FLOOR_MS) / reps
+    print(f"{name:28s} {dt:9.2f} ms", flush=True)
     return out
 
 
@@ -46,10 +49,11 @@ def main():
     from img2sgf_tpu.config import DetectionConfig
     from img2sgf_tpu.pipeline import detect_board_batch
     from img2sgf_tpu.pipeline.detect import (
-        _circles_on_planes, _post_circles, _pre_circles, _variant_dedup,
+        _circles_pooled, _post_circles, _pre_circles, _use_pallas_rescore,
+        _variant_dedup,
     )
     from img2sgf_tpu.hough.circles import (
-        circle_propose, circle_recentre, circle_votes, radius_support_pool,
+        circle_propose, circle_candidates, radius_support_pool,
         circle_finalize,
     )
 
@@ -66,7 +70,7 @@ def main():
         _materialize(g(z))
     _FLOOR_MS = (time.perf_counter() - t0) / 20 * 1e3
     print(f"backend={jax.default_backend()} size={size} batch={batch} "
-          f"sync_floor={_FLOOR_MS:.1f} ms (subtracted)")
+          f"sync_floor={_FLOOR_MS:.1f} ms (paid once per rep train)")
 
     import bench
 
@@ -79,39 +83,36 @@ def main():
     keep, expand = _variant_dedup(cfg, variants.shape[1])
     Vu = len(keep)
     pool = variants[:, jnp.asarray(keep)].reshape(batch * Vu, size, size)
+    up = _use_pallas_rescore(cfg, size, size)
 
     def propose(img):
         return circle_propose(
             img, cfg.circle_canny_high, cfg.circle_acc_threshold,
             cfg.circle_min_radius, cfg.circle_max_radius,
             cfg.num_angle_bins, cfg.max_center_candidates,
-            cfg.hysteresis_iters,
+            cfg.hysteresis_iters, block=cfg.propose_block,
         )
 
     f_prop = jax.jit(jax.vmap(propose))
     st = bench_one("propose(stage1)", f_prop, pool)
+    v1 = np.asarray(jnp.sum(st["valid"], axis=1))
+    print(f"  stage1 valid/plane: mean={v1.mean():.0f} max={v1.max()}")
 
-    from img2sgf_tpu.pipeline.detect import _use_pallas_rescore
+    H = W = size
 
-    up = _use_pallas_rescore(cfg, size, size)
-    f_votes = jax.jit(jax.vmap(
-        lambda e, a, b, y, x, v: circle_votes(
+    f_cand = jax.jit(jax.vmap(
+        lambda e, a, b, y, x, v: circle_candidates(
             e, a, b, y, x, v, cfg.circle_min_radius, cfg.circle_max_radius,
-            use_pallas=up,
+            cfg.circle_acc_threshold, H, W, use_pallas=up,
+            prov_budget=cfg.max_ring_candidates,
         )
     ))
-    patch = bench_one(f"votes(pallas={up})", f_votes,
-                      st["emask"], st["sx"], st["sy"], st["ys"], st["xs"],
-                      st["valid"])
-
-    f_rec = jax.jit(jax.vmap(
-        lambda p, y, x, v: circle_recentre(
-            p, y, x, v, cfg.circle_acc_threshold, size, size)
-    ))
-    ys_c, xs_c, votes, valid2 = bench_one(
-        "recentre+nms", f_rec, patch, st["ys"], st["xs"], st["valid"])
-    print(f"  survivors: {int(jnp.sum(valid2))} / {valid2.size} "
-          f"(stage1 valid {int(jnp.sum(st['valid']))})", flush=True)
+    ys_c, xs_c, votes, valid2, ring_sat = bench_one(
+        f"candidates(5x5+ring,p={up})", f_cand,
+        st["emask"], st["sx"], st["sy"], st["ys"], st["xs"], st["valid"])
+    v2 = np.asarray(jnp.sum(valid2, axis=1))
+    print(f"  valid2/plane: mean={v2.mean():.0f} max={v2.max()} "
+          f"ring_sat={int(np.asarray(ring_sat).sum())}/{len(v2)}")
 
     f_rad = jax.jit(lambda e, y, x, v: radius_support_pool(
         e, y, x, v, cfg.circle_min_radius, cfg.circle_max_radius))
@@ -123,8 +124,11 @@ def main():
             y, x, v, r, s, cfg.circle_acc_threshold, cfg.circle_min_dist,
             cfg.max_circles_per_variant)
     ))
-    circles_u, valid_u = bench_one("finalize(greedy)", f_fin,
+    circles_u, valid_u = bench_one("finalize(sort+greedy)", f_fin,
                                    ys_c, xs_c, valid2, r_best, support)
+
+    f_pool = jax.jit(lambda p: _circles_pooled(p, cfg, None))
+    bench_one("circles_pooled(+overflow)", f_pool, pool)
 
     vcirc = circles_u.reshape(batch, Vu, -1, 3)[:, jnp.asarray(expand)]
     vval = valid_u.reshape(batch, Vu, -1)[:, jnp.asarray(expand)]
@@ -138,11 +142,13 @@ def main():
 
     f_full = jax.jit(lambda im, t: detect_board_batch(im, cfg, t))
     bench_one("detect_board_batch", f_full, rgb, thr)
+    reps = 5
+    _materialize(f_full(rgb, thr))
     t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        _materialize(f_full(rgb, thr))
-    dt = (time.perf_counter() - t0) / reps - _FLOOR_MS / 1e3
+    for _ in range(reps - 1):
+        f_full(rgb, thr)
+    _materialize(f_full(rgb, thr))
+    dt = ((time.perf_counter() - t0) - _FLOOR_MS / 1e3) / reps
     print(f"throughput: {batch / dt:.1f} img/s", flush=True)
 
 
