@@ -61,11 +61,13 @@ def bench_real_scans(cfg, sync):
     from img2sgf_tpu.hostio import load_rgb
 
     imgs = []
+    names = []
     for f in sorted(fdir.glob("*.jpg")):
         rgb = load_rgb(str(f))
         h, w = rgb.shape[:2]
         if bucket_dim(h) == 768 and bucket_dim(w) == 768:
             imgs.append(rgb)
+            names.append(f.stem)
     if not imgs:
         return None
     B = len(imgs)
@@ -88,11 +90,33 @@ def bench_real_scans(cfg, sync):
     for _ in range(reps):
         sync(detect_board_bucket_batch(canv, cfg, thr, hs, ws))
     dt = (time.perf_counter() - t0) / reps
+
+    # parity fingerprint (VERDICT r2 #3): the detection results are already
+    # in hand — grade them against the committed cv2 goldens so every
+    # BENCH_rN.json records whether throughput was bought with parity
+    parity = {}
+    gdir = pathlib.Path(__file__).parent / "tests" / "golden"
+    ready = np.asarray(res.board_ready)
+    boards = np.asarray(res.full_board)
+    for i, name in enumerate(names):
+        sfile = gdir / name / "summary.json"
+        if not sfile.exists():
+            continue
+        want_ready = json.loads(sfile.read_text())["board_ready"]
+        if bool(ready[i]) != want_ready:
+            parity[name] = "READY_MISMATCH"
+        elif want_ready:
+            golden = np.load(gdir / name / "board.npy")
+            parity[name] = round(float((golden == boards[i]).mean()), 4)
+        else:
+            parity[name] = "agree_not_ready"
+
     return {
         "metric": f"native-size reference scans/sec/chip ({B} fixtures, 768 bucket)",
         "value": round(B / dt, 2),
         "unit": "images/sec",
         "vs_baseline": round(B / dt / BASELINE_DIAGRAMS_PER_SEC, 2),
+        "parity": parity,
     }
 
 
@@ -141,6 +165,7 @@ def main():
                 "unit": "images/sec",
                 "vs_baseline": round(throughput / BASELINE_DIAGRAMS_PER_SEC, 2),
                 "real_scan_img_s": None if real is None else real["value"],
+                "parity": None if real is None else real["parity"],
             }
         )
     )

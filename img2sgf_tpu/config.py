@@ -89,6 +89,35 @@ class DetectionConfig:
     #                                     when needed (pipeline.detect
     #                                     ._circles_pooled). <= base disables.
     overflow_ring_candidates: int = 3072  # ring budget inside the big pass
+    max_peak_candidates: int = 1024     # unique exact-NMS peaks kept per
+    #                                     variant after dedupe+compaction
+    #                                     (hough.circles.compact_candidates).
+    #                                     Sizes the radius/finalize stages;
+    #                                     overflowing it saturates the plane
+    #                                     like a proposal-budget fill.
+    #                                     Measured worst base-pass unique
+    #                                     peak count: 426 (bench dense
+    #                                     synthetics); real scans run lower.
+    overflow_peak_candidates: int = 6144  # peak budget inside the big pass
+    propose_threshold_factor: float = 0.6  # proposal floor as a fraction of
+    #                                     circle_acc_threshold. The cascade
+    #                                     accumulator under-votes true peaks
+    #                                     (direction quantization + rounding
+    #                                     smear), so proposals use a lower
+    #                                     bar and the exact rescore restores
+    #                                     true votes. Measured over every
+    #                                     cv2-accepted circle on all 17
+    #                                     positive fixtures (4950 circles):
+    #                                     the best proposal near a kept
+    #                                     circle never falls below 21 votes
+    #                                     except two circles invisible at
+    #                                     ANY factor (the known ex4/ex16
+    #                                     residual); 0.6 (=18) loses nothing
+    #                                     vs the old 0.5 and prunes ~6x the
+    #                                     junk maxima on dense content; the
+    #                                     first marginal loss appears at 0.7
+    #                                     (=21, ex8). Raise only with a
+    #                                     fresh margin measurement.
     propose_block: int = 1              # proposal compaction: keep the top
     #                                     cell per BxB block of the masked
     #                                     cascade accumulator before top_k

@@ -564,12 +564,20 @@ def _hist10_scan(counts, min_r: int, dr: float = 1.0):
     return r_best, max_count
 
 
-def greedy_min_dist(ys, xs, live, min_dist: float):
+def greedy_min_dist(ys, xs, live, min_dist: float, max_out: int | None = None):
     """Sequential acceptance in the GIVEN order with centre spacing >=
     min_dist (cv2's overlap removal over the support-sorted candidates).
 
     Candidates too close to an already-accepted circle are skipped; skipped
     or dead candidates do not block later ones (OpenCV semantics).
+
+    max_out bounds the per-step distance test to the accepted-so-far list
+    (a [max_out] position buffer) instead of all K candidates — O(max_out)
+    work per step instead of O(K). Acceptances past max_out still return
+    accepted=True but stop blocking; that is output-equivalent, because
+    every candidate they could block ranks after them and is truncated by
+    the same [max_out] output capacity anyway (circle_finalize slices the
+    acceptance-ordered prefix).
     """
     K = ys.shape[0]
     md2 = min_dist * min_dist
@@ -581,23 +589,50 @@ def greedy_min_dist(ys, xs, live, min_dist: float):
     K_i = jnp.arange(K)
     n_live = jnp.max(jnp.where(live, K_i, -1)) + 1
 
-    def body(i, accepted):
-        d2 = (fy - fy[i]) ** 2 + (fx - fx[i]) ** 2
-        clash = jnp.any(accepted & (K_i < i) & (d2 < md2))
-        return accepted.at[i].set(live[i] & jnp.logical_not(clash))
+    if max_out is None:
+        def body(i, accepted):
+            d2 = (fy - fy[i]) ** 2 + (fx - fx[i]) ** 2
+            clash = jnp.any(accepted & (K_i < i) & (d2 < md2))
+            return accepted.at[i].set(live[i] & jnp.logical_not(clash))
 
-    return jax.lax.fori_loop(0, n_live, body, jnp.zeros((K,), jnp.bool_))
+        return jax.lax.fori_loop(0, n_live, body, jnp.zeros((K,), jnp.bool_))
+
+    # dead slots sit at -2^30: any live candidate is farther than min_dist
+    far = jnp.float32(-(2.0 ** 30))
+    acc0 = (
+        jnp.full((max_out,), far),
+        jnp.full((max_out,), far),
+        jnp.int32(0),
+        jnp.zeros((K,), jnp.bool_),
+    )
+
+    def body(i, state):
+        ay, ax, cnt, accepted = state
+        d2 = (ay - fy[i]) ** 2 + (ax - fx[i]) ** 2
+        take = live[i] & jnp.logical_not(jnp.any(d2 < md2))
+        store = take & (cnt < max_out)
+        slot = jnp.minimum(cnt, max_out - 1)
+        ay = ay.at[slot].set(jnp.where(store, fy[i], ay[slot]))
+        ax = ax.at[slot].set(jnp.where(store, fx[i], ax[slot]))
+        return (ay, ax, cnt + store.astype(jnp.int32),
+                accepted.at[i].set(take))
+
+    _, _, _, accepted = jax.lax.fori_loop(0, n_live, body, acc0)
+    return accepted
 
 
 def circle_propose(img_u8, canny_high: float, acc_threshold: float,
                    min_r: int, max_r: int, num_bins: int, top_k: int,
                    hysteresis_iters: int = 24, hw=None,
-                   use_pallas: bool = False, block: int = 1):
+                   use_pallas: bool = False, block: int = 1,
+                   threshold_factor: float = 0.5):
     """Stage 1: edges + gradient steps + approximate-accumulator proposals.
 
-    Returns dict(emask, sx, sy, ys, xs, valid). A lower threshold (0.5x)
-    compensates for direction quantization spreading votes off the true
-    peak cell; stage 2 restores exact OpenCV vote counts.
+    Returns dict(emask, sx, sy, ys, xs, valid). A lower threshold
+    (threshold_factor x acc_threshold) compensates for direction
+    quantization spreading votes off the true peak cell; stage 2 restores
+    exact OpenCV vote counts. See DetectionConfig.propose_threshold_factor
+    for the measured margin behind the pipeline's default.
     """
     H, W = img_u8.shape
     if hw is not None:
@@ -613,10 +648,11 @@ def circle_propose(img_u8, canny_high: float, acc_threshold: float,
 
     acc = vote_accumulator(emask, dx, dy, num_bins, min_r, max_r,
                            use_pallas=use_pallas)
-    # 0.5x: margin for direction-quantization + cascade rounding smear;
+    # sub-1x: margin for direction-quantization + cascade rounding smear;
     # stage 2 restores exact votes so extra proposals only cost rescore work
-    ys, xs, votes, valid = centre_candidates(acc, 0.5 * acc_threshold, top_k,
-                                             hw=hw, block=block)
+    ys, xs, votes, valid = centre_candidates(
+        acc, threshold_factor * acc_threshold, top_k, hw=hw, block=block
+    )
     sx, sy = pixel_steps(dx, dy)
     return dict(
         emask=emask,
@@ -776,7 +812,8 @@ def provisional_ring(patch, ys, xs, valid, acc_threshold: float, H: int,
 
 def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
                       acc_threshold: float, H: int, W: int, hw=None,
-                      use_pallas: bool = False, prov_budget: int = 512):
+                      use_pallas: bool = False, prov_budget: int = 512,
+                      peak_budget: int | None = None):
     """Stages 2a-2c: exact candidate extraction around the proposals.
 
     1. 5x5 exact-vote patches (circle_votes) + multi-emission recentre:
@@ -784,10 +821,14 @@ def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
     2. Provisional outer-ring cells (+-2, partial test) verified by a
        second cells=3 exact-vote pass that sees all four neighbours —
        recovers peaks the cascade displaced by 2 px.
+    3. (peak_budget set) dedupe + compact the stream to [peak_budget]
+       rows (compact_candidates) so the radius and finalize stages work
+       on unique live peaks instead of the full emission stream.
 
-    Returns (ys_c, xs_c, votes, valid2, ring_sat): the first four
-    [K*9 + prov_budget]; ring_sat is a scalar bool — the ring budget
-    filled completely, so partial-pass cells may have been truncated
+    Returns (ys_c, xs_c, votes, valid2, sat): the first four
+    [K*9 + prov_budget] (or [peak_budget] when compacting); sat is a
+    scalar bool — a capacity filled completely (ring budget, or unique
+    peaks > peak_budget), so real candidates may have been truncated
     (callers use it to trigger the big-budget overflow pass).
     """
     patch = circle_votes(emask, sx, sy, ys, xs, valid, min_r, max_r,
@@ -809,13 +850,47 @@ def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
         & (c >= patch3[:, 2, 1])
         & (ys_p >= 1) & (ys_p <= h - 2) & (xs_p >= 1) & (xs_p <= w - 2)
     )
-    return (
-        jnp.concatenate([ys_c, ys_p]),
-        jnp.concatenate([xs_c, xs_p]),
-        jnp.concatenate([votes_c, c]),
-        jnp.concatenate([ok_c, ok_p]),
-        valid_p[-1],
+    ys_all = jnp.concatenate([ys_c, ys_p])
+    xs_all = jnp.concatenate([xs_c, xs_p])
+    votes_all = jnp.concatenate([votes_c, c])
+    ok_all = jnp.concatenate([ok_c, ok_p])
+    if peak_budget is None:
+        return ys_all, xs_all, votes_all, ok_all, valid_p[-1]
+    ys_k, xs_k, votes_k, ok_k, over = compact_candidates(
+        ys_all, xs_all, votes_all, ok_all, W, peak_budget
     )
+    return ys_k, xs_k, votes_k, ok_k, valid_p[-1] | over
+
+
+def compact_candidates(ys, xs, votes, valid, W: int, budget: int):
+    """Dedupe + compact the candidate stream to a fixed [budget] prefix.
+
+    The multi-emission recentre emits the same exact-accumulator peak from
+    every overlapping 5x5 patch (and the ring pass can emit it again), so
+    the [K*9 + ring] stream carries many rows with identical (y, x) — and
+    identical votes, since exact votes are a function of the cell. One
+    representative survives; the rest are dropped BEFORE the radius stage
+    instead of riding through radius estimation and the finalize sort to
+    die at distance 0 in the greedy pass. Selection semantics are
+    unchanged: circle_finalize's sort key (support, r, cx, cy) is a total
+    order, so input order never matters.
+
+    Returns (ys, xs, votes, valid, sat) each [budget]; sat flags that more
+    than `budget` unique live cells existed (truncation possible — callers
+    treat it like a proposal-budget saturation and rerun big).
+    """
+    key = jnp.where(valid, ys * W + xs, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)
+    ks = key[order]
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), jnp.bool_), ks[1:] == ks[:-1]]
+    )
+    live = (ks < jnp.iinfo(jnp.int32).max) & jnp.logical_not(dup)
+    order2 = jnp.argsort(jnp.logical_not(live), stable=True)
+    sel = order[order2][:budget]
+    live2 = live[order2][:budget]
+    sat = jnp.sum(live) > budget
+    return ys[sel], xs[sel], votes[sel], live2, sat
 
 
 def radius_support_pool(emask_planes, ys, xs, want, min_r: int, max_r: int,
@@ -907,7 +982,8 @@ def circle_finalize(ys_c, xs_c, valid2, r_best, support, acc_threshold: float,
     ys_s = ys_c[order]
     xs_s = xs_c[order]
     r_s = r_best[order]
-    accepted = greedy_min_dist(ys_s, xs_s, supported[order], min_dist)
+    accepted = greedy_min_dist(ys_s, xs_s, supported[order], min_dist,
+                               max_out=max_out)
     keep = jnp.argsort(jnp.logical_not(accepted), stable=True)[:max_out]
     out_valid = accepted[keep]
     cx = xs_s[keep].astype(jnp.float32) + 0.5

