@@ -37,6 +37,32 @@ TEST_IMAGES = REFERENCE_DIR / "test_images"
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (full-pipeline equivalence suites, "
+        "~45 min on the 8-device CPU mesh)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute CPU-mesh equivalence test; skipped unless "
+        "--runslow (fast tier stays under ~5 min so it is actually run "
+        "per-change — VERDICT r2 weak #4)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: pass --runslow for the full tier")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def test_images_dir():
     if not TEST_IMAGES.is_dir():

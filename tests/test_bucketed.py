@@ -42,6 +42,7 @@ CHECK_FIELDS = (
         (101, 5, ((1, 2, 0), (3, 3, 255))),   # small, heavy padding
     ],
 )
+@pytest.mark.slow
 def test_bucketed_matches_native(size, n, stones):
     rgb = synth_board(size=size, n=n, stones=stones)
     native = detect_board_jit(jnp.asarray(rgb), TINY, 24.0)
@@ -65,6 +66,7 @@ def test_bucket_ladder():
     assert bucket_dim(5000) == 5120
 
 
+@pytest.mark.slow
 def test_bucket_batch_matches_single():
     """The batched bucketed entry (serving path) == per-image bucketed runs:
     two different native sizes sharing one canvas bucket."""
@@ -100,6 +102,7 @@ def test_bucket_batch_matches_single():
             )
 
 
+@pytest.mark.slow
 def test_fast_preset_detects_synthetic():
     """DetectionConfig.fast() (reduced blur pyramid) still detects the
     synthetic board and matches the full config's result on it."""

@@ -1,6 +1,7 @@
 """CLI argv handling (reference semantics: img2sgf.py:1256-1269)."""
 
 import numpy as np
+import pytest
 from PIL import Image
 
 
@@ -13,6 +14,7 @@ def test_headless_bad_file(tmp_path, capsys):
     assert "Error opening file" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_headless_default_output_name(tmp_path):
     """Default output = input stem + .sgf; negative fixture path exits 1
     without writing."""

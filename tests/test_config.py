@@ -17,6 +17,7 @@ def test_sobel_aperture_is_validated_static():
     assert DetectionConfig().sobel_aperture == 3
 
 
+@pytest.mark.slow
 def test_line_threshold_field_is_the_default_threshold():
     """detect_board with no explicit threshold uses cfg.line_threshold
     (img2sgf.py:44); passing the same value explicitly must match."""

@@ -67,6 +67,7 @@ def test_axis_narration_matches_reference(coords):
     assert _session_axis_log(coords) == _oracle_axis_log(coords)
 
 
+@pytest.mark.slow
 def test_fixture_narration_ex9():
     """Full-script narration on ex9 vs the reference oracle.
 

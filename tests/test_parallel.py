@@ -32,6 +32,7 @@ def _batch(n, size=64):
     return jnp.asarray(imgs), jnp.full((n,), 20.0, jnp.float32)
 
 
+@pytest.mark.slow
 def test_sharded_detector_runs(mesh):
     run = make_sharded_detector(mesh, TINY)
     images, thr = _batch(8)
@@ -42,6 +43,7 @@ def test_sharded_detector_runs(mesh):
     assert int(m["boards_ready"]) >= 0
 
 
+@pytest.mark.slow
 def test_sharded_matches_unsharded(mesh):
     from img2sgf_tpu.pipeline.detect import detect_board
 
@@ -59,6 +61,7 @@ def test_sharded_matches_unsharded(mesh):
     )
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import sys
 

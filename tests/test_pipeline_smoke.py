@@ -79,6 +79,7 @@ def test_sgf_roundtrip(result):
     assert "AB" in sgf and "AW" in sgf
 
 
+@pytest.mark.slow
 def test_batch_matches_single(result):
     rgb = synth_board()
     batch = jnp.asarray(np.stack([rgb, rgb]))
@@ -92,6 +93,7 @@ def test_batch_matches_single(result):
     )
 
 
+@pytest.mark.slow
 def test_overflow_budget_gating():
     """Saturation-gated overflow (_circles_pooled): a plane that fills the
     base candidate budget triggers the big-budget rerun under lax.cond, and
