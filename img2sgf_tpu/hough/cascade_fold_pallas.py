@@ -74,10 +74,16 @@ def _build_kernel(num_bins: int, min_r: int, max_r: int, H: int, W: int,
     He, We = H + 2 * B, W + 2 * B
 
     def kern(packed_ref, out_ref):
-        p = packed_ref[0]
+        # bf16 arithmetic equality instead of an i1 mask: Mosaic cannot
+        # relayout the (8,128)-tiled i32-compare mask into the (16,128)
+        # bf16 select it feeds ("Invalid relayout ... vector<...xi1>",
+        # measured on-device v5e). Labels are small integers (<= Q+1 <<
+        # 256), exact in bf16, so 1-min(1,|p-d|) == (p==d) bitwise.
+        p = packed_ref[0].astype(jnp.bfloat16)
+        one = jnp.bfloat16(1)
         acc = jnp.zeros((H, W), jnp.float32)
         for d in range(Q + 1):
-            e_d = jnp.where(p == d, jnp.bfloat16(1), jnp.bfloat16(0))
+            e_d = one - jnp.minimum(one, jnp.abs(p - jnp.bfloat16(d)))
             P = None
             for (jy, jx) in inner[d]:
                 t = jax.lax.slice(

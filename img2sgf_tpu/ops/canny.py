@@ -96,11 +96,9 @@ def hysteresis(strong, cand, iters: int):
     # On TPU, images that fit VMEM use the Pallas kernel (iterates fully
     # on-chip); the XLA scan path covers CPU tests and oversized images.
     H, W = strong.shape[-2], strong.shape[-1]
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    if on_tpu and strong.ndim == 2 and H * W <= 600_000:
+    from .common import tpu_backend
+
+    if tpu_backend() and strong.ndim == 2 and H * W <= 600_000:
         from .hysteresis_pallas import hysteresis_pallas
 
         return hysteresis_pallas(strong, cand, iters)
