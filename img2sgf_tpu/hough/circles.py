@@ -857,28 +857,48 @@ def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
     if peak_budget is None:
         return ys_all, xs_all, votes_all, ok_all, valid_p[-1]
     ys_k, xs_k, votes_k, ok_k, over = compact_candidates(
-        ys_all, xs_all, votes_all, ok_all, W, peak_budget
+        ys_all, xs_all, votes_all, ok_all, W, peak_budget, dedupe=True
     )
     return ys_k, xs_k, votes_k, ok_k, valid_p[-1] | over
 
 
-def compact_candidates(ys, xs, votes, valid, W: int, budget: int):
-    """Dedupe + compact the candidate stream to a fixed [budget] prefix.
+def compact_candidates(ys, xs, votes, valid, W: int, budget: int,
+                       dedupe: bool = False):
+    """Compact the candidate stream to a fixed [budget] live-first prefix.
 
-    The multi-emission recentre emits the same exact-accumulator peak from
-    every overlapping 5x5 patch (and the ring pass can emit it again), so
-    the [K*9 + ring] stream carries many rows with identical (y, x) — and
-    identical votes, since exact votes are a function of the cell. One
-    representative survives; the rest are dropped BEFORE the radius stage
-    instead of riding through radius estimation and the finalize sort to
-    die at distance 0 in the greedy pass. Selection semantics are
+    The multi-emission recentre emits ~0-2 surviving cells per proposal,
+    so the [K*9 + ring] stream is mostly dead rows; compacting it before
+    the radius stage is what keeps radius/finalize work proportional to
+    real peaks instead of the emission budget. Selection semantics are
     unchanged: circle_finalize's sort key (support, r, cx, cy) is a total
     order, so input order never matters.
 
-    Returns (ys, xs, votes, valid, sat) each [budget]; sat flags that more
-    than `budget` unique live cells existed (truncation possible — callers
+    dedupe additionally drops duplicate (y, x) rows (the same exact peak
+    emitted from several overlapping 5x5 patches or re-emitted by the
+    ring pass; exact votes are a function of the cell, so duplicates are
+    bitwise-identical rows). Output-equivalent either way — duplicates
+    sort adjacently in circle_finalize and die at distance 0 in the
+    greedy pass — but deduped streams keep the radius/finalize stages
+    proportional to unique peaks, which measured ~75 ms cheaper per
+    256-plane batch than carrying duplicates through them.
+
+    Cost shape (measured v5e, [K*9+512 = 9728] rows x 256 planes): a
+    bool-key argsort is ~9 ms, an i32-key argsort ~83 ms. So the dedupe
+    path first live-compacts with the cheap bool sort, then dedupes on
+    the [budget]-sized prefix where the key sort is ~7x cheaper.
+
+    Returns (ys, xs, votes, valid, sat) each [budget]; sat flags that
+    more than `budget` live rows existed (truncation possible — callers
     treat it like a proposal-budget saturation and rerun big).
     """
+    # conservative saturation: counted on the full stream INCLUDING
+    # duplicates (a dup-inflated count can only add big-pass reruns,
+    # never miss one)
+    sat = jnp.sum(valid) > budget
+    sel = jnp.argsort(jnp.logical_not(valid), stable=True)[:budget]
+    ys, xs, votes, valid = ys[sel], xs[sel], votes[sel], valid[sel]
+    if not dedupe:
+        return ys, xs, votes, valid, sat
     key = jnp.where(valid, ys * W + xs, jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(key)
     ks = key[order]
@@ -887,10 +907,8 @@ def compact_candidates(ys, xs, votes, valid, W: int, budget: int):
     )
     live = (ks < jnp.iinfo(jnp.int32).max) & jnp.logical_not(dup)
     order2 = jnp.argsort(jnp.logical_not(live), stable=True)
-    sel = order[order2][:budget]
-    live2 = live[order2][:budget]
-    sat = jnp.sum(live) > budget
-    return ys[sel], xs[sel], votes[sel], live2, sat
+    sel2 = order[order2]
+    return ys[sel2], xs[sel2], votes[sel2], live[order2], sat
 
 
 def radius_support_pool(emask_planes, ys, xs, want, min_r: int, max_r: int,
@@ -928,10 +946,14 @@ def radius_support_pool(emask_planes, ys, xs, want, min_r: int, max_r: int,
     gw = want_f[order]
 
     if chunk is None:
-        # scale the chunk with the pool so the scan stays ~<=1024 steps at
-        # batch scale (dead steps still cost a scan iteration) while
-        # keeping per-step gather memory bounded
-        chunk = min(512, max(64, N // 1024))
+        # scale the chunk with the pool so the scan stays ~<=128 steps at
+        # batch scale: each lax.map step costs ~0.25 ms in dispatch alone,
+        # so 1024 steps of 256 candidates burned ~250 ms while the live
+        # prefix (want-first sort) fit in a couple dozen steps. Bigger
+        # chunks trade a larger per-step gather (2048 x win^2 f32 ~ 30 MB
+        # HBM reads, well within bandwidth) for far fewer steps; dead
+        # chunks after the live prefix still skip via the cond.
+        chunk = min(2048, max(512, N // 128))
     C = min(chunk, N)
     while N % C:
         C //= 2

@@ -49,8 +49,8 @@ def main():
     from img2sgf_tpu.config import DetectionConfig
     from img2sgf_tpu.pipeline import detect_board_batch
     from img2sgf_tpu.pipeline.detect import (
-        _circles_pooled, _post_circles, _pre_circles, _use_pallas_rescore,
-        _variant_dedup,
+        _circles_on_planes, _circles_pooled, _post_circles, _pre_circles,
+        _use_pallas_rescore, _variant_dedup,
     )
     from img2sgf_tpu.hough.circles import (
         circle_propose, circle_candidates, radius_support_pool,
@@ -91,6 +91,7 @@ def main():
             cfg.circle_min_radius, cfg.circle_max_radius,
             cfg.num_angle_bins, cfg.max_center_candidates,
             cfg.hysteresis_iters, block=cfg.propose_block,
+            threshold_factor=cfg.propose_threshold_factor,
         )
 
     f_prop = jax.jit(jax.vmap(propose))
@@ -105,6 +106,7 @@ def main():
             e, a, b, y, x, v, cfg.circle_min_radius, cfg.circle_max_radius,
             cfg.circle_acc_threshold, H, W, use_pallas=up,
             prov_budget=cfg.max_ring_candidates,
+            peak_budget=cfg.max_peak_candidates,
         )
     ))
     ys_c, xs_c, votes, valid2, ring_sat = bench_one(
@@ -127,6 +129,9 @@ def main():
     circles_u, valid_u = bench_one("finalize(sort+greedy)", f_fin,
                                    ys_c, xs_c, valid2, r_best, support)
 
+    f_base = jax.jit(lambda p: _circles_on_planes(p, cfg, None))
+    _, _, sat = bench_one("circles_base(no overflow)", f_base, pool)
+    print(f"  saturated planes: {int(np.asarray(sat).sum())}/{sat.shape[0]}")
     f_pool = jax.jit(lambda p: _circles_pooled(p, cfg, None))
     bench_one("circles_pooled(+overflow)", f_pool, pool)
 
