@@ -117,23 +117,37 @@ def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
     inner, outer = _cascade_tables(num_bins, min_r, max_r)
     B = max_r  # max |outer offset| coordinate
     pad = B + 3  # + max |inner offset| (<= seg//2 + rounding)
-    packed = jnp.where(edge_mask, bins, num_bins).astype(jnp.int32)
-    packed = jnp.pad(packed, pad, constant_values=num_bins)
+    # int8 labels (num_bins <= 127): the fused per-bin compare chains
+    # re-read this plane constantly, so label width is pure HBM traffic
+    pk_dtype = jnp.int8 if num_bins <= 127 else jnp.int32
+    packed = jnp.where(edge_mask, bins, num_bins).astype(pk_dtype)
+    packed = jnp.pad(packed, pad,
+                     constant_values=np.asarray(num_bins, pk_dtype))
 
     acc = jnp.zeros((H, W), jnp.float32)
-    GROUP = 4  # bins per barrier step: fewer acc materialisations (HBM
-    # round-trips) while keeping liveness bounded to a few planes
-    # bf16 integers are exact only below 2^8: contrib <= n_out*seg = 2*n
-    # votes per bin and the group sum adds GROUP of them, so the bf16 path
-    # requires GROUP*2*n <= 256 (true for the r in [1,30] default: 240);
-    # wider radius spans accumulate in f32 to stay exact
+    # Group dtype ladder (all exact-integer regimes; measured on v5e the
+    # shift chains are pure HBM bandwidth, so narrower is faster: int8 is
+    # 21% faster than bf16 at 512^2, bit-exact):
+    #   int8  — contrib <= n_out*seg = 2*n votes/bin, gsum adds GROUP of
+    #           them; needs GROUP*2*n <= 127 -> GROUP=2 covers n <= 31
+    #           (the r in [1,30] default: 120)
+    #   bf16  — exact integers below 2^8; GROUP=4 covers 2*4*n <= 256
+    #   f32   — wider radius spans
+    # GROUP = bins per barrier step: fewer acc materialisations (HBM
+    # round-trips) while keeping liveness bounded to a few planes.
     n_r = max_r - min_r + 1
-    group_dtype = jnp.bfloat16 if GROUP * 2 * n_r <= 256 else jnp.float32
+    if 2 * 2 * n_r <= 127:
+        GROUP, group_dtype = 2, jnp.int8
+    elif 4 * 2 * n_r <= 256:
+        GROUP, group_dtype = 4, jnp.bfloat16
+    else:
+        GROUP, group_dtype = 4, jnp.float32
     for g in range(0, num_bins, GROUP):
         gsum = None
         for d in range(g, min(g + GROUP, num_bins)):
-            # bf16 halves the HBM traffic of the shift chains; values stay
-            # exact (P sums <= seg <= 5 ones, contrib accumulates in f32)
+            # narrow dtype shrinks the HBM traffic of the shift chains;
+            # values stay exact per the ladder bounds above (P sums <=
+            # seg <= 5 ones)
             e_d = (packed == d).astype(group_dtype)
             # partial plane over the expanded domain [H+2B, W+2B]
             P = None
@@ -147,8 +161,8 @@ def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
             for (by, bx) in outer[d]:
                 t = jax.lax.slice(P, (B - by, B - bx), (B - by + H, B - bx + W))
                 contrib = t if contrib is None else contrib + t
-            # the whole group stays bf16: contrib <= 12*seg = 60 and
-            # gsum <= GROUP*60 = 240 < 256, exact bf16 integers
+            # the whole group stays in group_dtype; the ladder above
+            # guarantees gsum <= GROUP * 2 * n_r fits it exactly
             gsum = contrib if gsum is None else gsum + contrib
         # serialise per-group schedules to bound liveness (see below)
         acc, packed = jax.lax.optimization_barrier(
@@ -166,27 +180,14 @@ def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int,
     """
     # the cascade only feeds the (already approximate) proposal stage; the
     # exact per-offset chain below remains for A/B and radius spans that
-    # don't divide into segments. On TPU the dihedral-folded Pallas
-    # cascade (cascade_fold_pallas.py) replaces the XLA chain when its
-    # whole padded plane fits VMEM; it is bit-exact vs the XLA cascade.
-    # (cascade_pallas.py is the earlier dynamic-rotate attempt — slower
-    # than XLA, kept as measured history.)
+    # don't divide into segments. The XLA cascade IS the shipped path:
+    # three Pallas formulations were built, measured on-device (v5e), and
+    # deleted — fully-static unrolled rolls (Mosaic compile >25 min),
+    # per-bin dynamic rotates (113 ms vs 62 ms XLA per 64 planes), and a
+    # dihedral-folded 17-bin VMEM kernel (bit-exact but 6.79 ms/plane vs
+    # 1.94 ms XLA at 512^2, with a 374 s Mosaic compile — tools/ab_device
+    # record, 2026-08-19). See docs/DESIGN.md "Kernel strategy".
     if (max_r - min_r + 1) % 5 == 0:
-        H, W = edge_mask.shape
-        pad2 = 2 * (max_r + 3)
-        vmem_est = (H + pad2) * (-(-(W + pad2) // 128) * 128) * 12
-        # opt-in until its Mosaic compile time is validated on-device: a
-        # pathological compile on the bench path is worse than the XLA
-        # chain's throughput (set IMG2SGF_FOLD_CASCADE=0 to disable)
-        import os
-
-        fold_ok = os.environ.get("IMG2SGF_FOLD_CASCADE", "") == "1"
-        if fold_ok and use_pallas and num_bins % 4 == 0 and vmem_est <= (13 << 20):
-            from .cascade_fold_pallas import vote_accumulator_cascade_folded
-
-            return vote_accumulator_cascade_folded(
-                edge_mask, dx, dy, num_bins, min_r, max_r
-            )
         return vote_accumulator_cascade(edge_mask, dx, dy, num_bins, min_r, max_r)
 
     ang = jnp.arctan2(dy.astype(jnp.float32), dx.astype(jnp.float32))

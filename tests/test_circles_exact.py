@@ -84,24 +84,6 @@ def test_pallas_rescore_matches_xla(cells):
     np.testing.assert_array_equal(got[valid], want[valid])
 
 
-def test_pallas_cascade_matches_xla():
-    """Interpret-mode Pallas cascade == XLA cascade accumulator, bit for bit."""
-    from img2sgf_tpu.hough.cascade_pallas import vote_accumulator_cascade_pallas
-    from img2sgf_tpu.hough.circles import vote_accumulator_cascade
-
-    rng = np.random.default_rng(3)
-    H, W = 96, 128
-    emask = rng.random((H, W)) < 0.10
-    dx = rng.integers(-255, 256, (H, W)).astype(np.int32)
-    dy = rng.integers(-255, 256, (H, W)).astype(np.int32)
-    want = np.asarray(vote_accumulator_cascade(
-        jnp.asarray(emask), jnp.asarray(dx), jnp.asarray(dy), 64, 1, 30))
-    got = np.asarray(vote_accumulator_cascade_pallas(
-        jnp.asarray(emask), jnp.asarray(dx), jnp.asarray(dy), 64, 1, 30,
-        interpret=True))
-    np.testing.assert_array_equal(got, want)
-
-
 def _full_accumulator(emask, sx, sy, min_r, max_r):
     """Brute-force exact centre-vote accumulator (the full-image analogue
     of _brute): every edge pixel walks both directions at all radii with
@@ -181,28 +163,6 @@ def test_circle_candidates_recovers_cheb2_peaks():
     assert set(got) == want
     for (cy, cx), v in got.items():
         assert v == acc[cy, cx], f"votes mismatch at {(cy, cx)}"
-
-
-@pytest.mark.parametrize("shape", [(96, 128), (128, 128)])
-def test_folded_cascade_matches_xla(shape):
-    """Dihedral-folded Pallas cascade == XLA cascade, bit for bit
-    (interpret mode; square and non-square planes)."""
-    from img2sgf_tpu.hough.cascade_fold_pallas import (
-        vote_accumulator_cascade_folded,
-    )
-    from img2sgf_tpu.hough.circles import vote_accumulator_cascade
-
-    rng = np.random.default_rng(23)
-    H, W = shape
-    emask = rng.random((H, W)) < 0.10
-    dx = rng.integers(-255, 256, (H, W)).astype(np.int32)
-    dy = rng.integers(-255, 256, (H, W)).astype(np.int32)
-    want = np.asarray(vote_accumulator_cascade(
-        jnp.asarray(emask), jnp.asarray(dx), jnp.asarray(dy), 64, 1, 30))
-    got = np.asarray(vote_accumulator_cascade_folded(
-        jnp.asarray(emask), jnp.asarray(dx), jnp.asarray(dy), 64, 1, 30,
-        interpret=True))
-    np.testing.assert_array_equal(got, want)
 
 
 def _hist10_numpy(emask, cy, cx, min_r, max_r, dr=1.0):

@@ -78,9 +78,6 @@ def main(sizes):
     from img2sgf_tpu.hough.circles import (
         vote_accumulator_cascade,
     )
-    from img2sgf_tpu.hough.cascade_fold_pallas import (
-        vote_accumulator_cascade_folded,
-    )
     from img2sgf_tpu.ops.canny import _nms, hysteresis
     from img2sgf_tpu.ops.hysteresis_pallas import hysteresis_pallas
     from img2sgf_tpu.ops.sobel import sobel3
@@ -104,7 +101,9 @@ def main(sizes):
 
         print(f"\n=== size {size} (ex5 crop) ===")
 
-        # --- cascade: XLA chain vs dihedral-folded Pallas ---
+        # --- cascade: the XLA chain (the one shipped path — the Pallas
+        # formulations were measured slower or compile-bound and deleted;
+        # record in docs/DESIGN.md "Kernel strategy") ---
         args = (emask, dx, dy, cfg.num_angle_bins, cfg.circle_min_radius,
                 cfg.circle_max_radius)
         xla = jax.jit(lambda e, a, b: vote_accumulator_cascade(
@@ -112,16 +111,6 @@ def main(sizes):
             cfg.circle_max_radius))
         acc_x, c_x, r_x = _bench(xla, *args[:3])
         print(f"cascade/XLA    : compile {c_x:6.1f}s  run {r_x - floor:7.2f} ms")
-        try:
-            fold = jax.jit(lambda e, a, b: vote_accumulator_cascade_folded(
-                e, a, b, cfg.num_angle_bins, cfg.circle_min_radius,
-                cfg.circle_max_radius))
-            acc_f, c_f, r_f = _bench(fold, *args[:3])
-            same = bool(jnp.array_equal(acc_x, acc_f))
-            print(f"cascade/folded : compile {c_f:6.1f}s  run {r_f - floor:7.2f} ms"
-                  f"  bit-exact={same}")
-        except Exception as e:  # Mosaic failures are data, not crashes
-            print(f"cascade/folded : FAILED {type(e).__name__}: {e}")
 
         # --- hysteresis: XLA segmented scan vs Pallas VMEM kernel ---
         hx = jax.jit(lambda s, c: hysteresis(s, c, cfg.hysteresis_iters))
