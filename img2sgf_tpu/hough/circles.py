@@ -102,7 +102,7 @@ def _cascade_tables(num_bins: int, min_r: int, max_r: int, seg: int = 5):
 
 
 def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
-                             max_r: int):
+                             max_r: int, group: int | None = None):
     """Approximate centre-vote accumulator via a two-level shift cascade.
 
     Same role as vote_accumulator stage 1 (candidate proposal; exact votes
@@ -124,31 +124,36 @@ def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
     packed = jnp.pad(packed, pad,
                      constant_values=np.asarray(num_bins, pk_dtype))
 
-    acc = jnp.zeros((H, W), jnp.float32)
-    # Group dtype ladder (all exact-integer regimes; measured on v5e the
-    # shift chains are pure HBM bandwidth, so narrower is faster: int8 is
-    # 21% faster than bf16 at 512^2, bit-exact):
-    #   int8  — contrib <= n_out*seg = 2*n votes/bin, gsum adds GROUP of
-    #           them; needs GROUP*2*n <= 127 -> GROUP=2 covers n <= 31
-    #           (the r in [1,30] default: 120)
-    #   bf16  — exact integers below 2^8; GROUP=4 covers 2*4*n <= 256
-    #   f32   — wider radius spans
-    # GROUP = bins per barrier step: fewer acc materialisations (HBM
-    # round-trips) while keeping liveness bounded to a few planes.
+    # Exact-integer dtype ladder (measured on v5e — the shift chains are
+    # pure HBM bandwidth, so narrower is faster):
+    #   per-bin planes (P, contrib): int8 when contrib <= n_out*seg = 2*n_r
+    #     fits (n_r <= 63); the default r in [1,30] span gives 60.
+    #   gsum / acc: int16 when the TOTAL vote bound num_bins * 2 * n_r
+    #     fits (64 * 60 = 3840 < 2^15 for the default) — then gsum can
+    #     carry ANY group width and acc round-trips shrink 2x vs f32.
+    #   f32 fallback for wider spans (still exact: votes are integers and
+    #     the total stays far below 2^24).
+    # GROUP = bins per optimization-barrier step. The barrier bounds
+    # liveness (without it the scheduler hoists all num_bins bin planes
+    # for ILP and OOMs HBM at batch scale); fewer barrier steps = fewer
+    # acc materialisations (HBM round-trips). GROUP=8 with int16 acc
+    # measured fastest at 512^2 (sweep: tools/micro_cascade_group.py).
     n_r = max_r - min_r + 1
-    if 2 * 2 * n_r <= 127:
-        GROUP, group_dtype = 2, jnp.int8
-    elif 4 * 2 * n_r <= 256:
-        GROUP, group_dtype = 4, jnp.bfloat16
+    bin_dtype = jnp.int8 if 2 * n_r <= 127 else jnp.int32
+    if num_bins * 2 * n_r <= 32767 and bin_dtype == jnp.int8:
+        GROUP, acc_dtype = 8, jnp.int16
     else:
-        GROUP, group_dtype = 4, jnp.float32
+        GROUP, acc_dtype, bin_dtype = 4, jnp.float32, jnp.float32
+    if group is not None:
+        GROUP = group
+    acc = jnp.zeros((H, W), acc_dtype)
     for g in range(0, num_bins, GROUP):
         gsum = None
         for d in range(g, min(g + GROUP, num_bins)):
             # narrow dtype shrinks the HBM traffic of the shift chains;
             # values stay exact per the ladder bounds above (P sums <=
             # seg <= 5 ones)
-            e_d = (packed == d).astype(group_dtype)
+            e_d = (packed == d).astype(bin_dtype)
             # partial plane over the expanded domain [H+2B, W+2B]
             P = None
             for (jy, jx) in inner[d]:
@@ -161,14 +166,13 @@ def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
             for (by, bx) in outer[d]:
                 t = jax.lax.slice(P, (B - by, B - bx), (B - by + H, B - bx + W))
                 contrib = t if contrib is None else contrib + t
-            # the whole group stays in group_dtype; the ladder above
-            # guarantees gsum <= GROUP * 2 * n_r fits it exactly
+            # per-bin planes stay in bin_dtype (contrib <= 2*n_r); gsum
+            # widens to the acc dtype, whose ladder bound covers any GROUP
+            contrib = contrib.astype(acc_dtype)
             gsum = contrib if gsum is None else gsum + contrib
-        # serialise per-group schedules to bound liveness (see below)
-        acc, packed = jax.lax.optimization_barrier(
-            (acc + gsum.astype(jnp.float32), packed)
-        )
-    return acc
+        # serialise per-group schedules to bound liveness (see above)
+        acc, packed = jax.lax.optimization_barrier((acc + gsum, packed))
+    return acc.astype(jnp.float32)
 
 
 def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int,
@@ -223,10 +227,14 @@ def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int,
 
 
 def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
-                      block: int = 1):
+                      block: int = 1, with_count: bool = False):
     """Accumulator local maxima > threshold, descending vote order.
 
-    Returns (ys, xs, votes, valid) each [top_k]. Border cells excluded
+    Returns (ys, xs, votes, valid) each [top_k]; with_count appends the
+    TOTAL number of qualifying maxima in the plane (before the top_k
+    truncation), which callers use for exact saturation detection
+    (n > top_k means real maxima were truncated; n == top_k means the
+    budget was exactly filled and nothing was lost). Border cells excluded
     (OpenCV scans y, x in [1, size-2]); with hw=(h, w) the scan bound is
     the content block, not the canvas.
 
@@ -255,6 +263,7 @@ def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
         & (acc >= down)
         & interior
     )
+    n_live = jnp.sum(is_max, dtype=jnp.int32)
     if block > 1:
         b = block
         Hb, Wb = -(-H // b), -(-W // b)
@@ -268,7 +277,11 @@ def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
         ys = (bidx // Wb) * b + cell // b
         xs = (bidx % Wb) * b + cell % b
         valid = votes > 0
-        return jnp.minimum(ys, H - 1), jnp.minimum(xs, W - 1), votes, valid
+        # blockwise compaction keeps one max per tile, so the relevant
+        # live count for saturation is the number of live TILES
+        n_live = jnp.sum(bmax > 0, dtype=jnp.int32)
+        out = (jnp.minimum(ys, H - 1), jnp.minimum(xs, W - 1), votes, valid)
+        return out + (n_live,) if with_count else out
     score = jnp.where(is_max, acc, -1.0).reshape(-1)
     if W % 2 == 0:
         # lossless 2x shrink before the (sort-bound) top_k: two
@@ -288,7 +301,8 @@ def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
     else:
         votes, flat = jax.lax.top_k(score, top_k)
     valid = votes > 0
-    return flat // W, flat % W, votes, valid
+    out = (flat // W, flat % W, votes, valid)
+    return out + (n_live,) if with_count else out
 
 
 def pixel_steps(dx, dy):
@@ -622,20 +636,16 @@ def greedy_min_dist(ys, xs, live, min_dist: float, max_out: int | None = None):
     return accepted
 
 
-def circle_propose(img_u8, canny_high: float, acc_threshold: float,
-                   min_r: int, max_r: int, num_bins: int, top_k: int,
-                   hysteresis_iters: int = 24, hw=None,
-                   use_pallas: bool = False, block: int = 1,
-                   threshold_factor: float = 0.5):
-    """Stage 1: edges + gradient steps + approximate-accumulator proposals.
+def circle_plane_state(img_u8, canny_high: float, min_r: int, max_r: int,
+                       num_bins: int, hysteresis_iters: int = 24, hw=None):
+    """Stage 1a — the budget-INDEPENDENT per-plane work: internal Canny,
+    gradient walk steps, and the approximate vote accumulator.
 
-    Returns dict(emask, sx, sy, ys, xs, valid). A lower threshold
-    (threshold_factor x acc_threshold) compensates for direction
-    quantization spreading votes off the true peak cell; stage 2 restores
-    exact OpenCV vote counts. See DetectionConfig.propose_threshold_factor
-    for the measured margin behind the pipeline's default.
+    Split out of circle_propose so the saturation-gated overflow pass
+    (pipeline._circles_pooled) can rerun the budget-dependent selection
+    stages at a bigger capacity WITHOUT recomputing Sobel/Canny/cascade
+    (~60% of stage-1 cost). Returns dict(emask, sx, sy, acc).
     """
-    H, W = img_u8.shape
     if hw is not None:
         from ..ops.common import border_remap
 
@@ -646,22 +656,65 @@ def circle_propose(img_u8, canny_high: float, acc_threshold: float,
     edges = canny(img_u8, max(canny_high / 2, 1), canny_high,
                   iters=hysteresis_iters, hw=hw)
     emask = (edges > 0) & ((dx != 0) | (dy != 0))
-
-    acc = vote_accumulator(emask, dx, dy, num_bins, min_r, max_r,
-                           use_pallas=use_pallas)
-    # sub-1x: margin for direction-quantization + cascade rounding smear;
-    # stage 2 restores exact votes so extra proposals only cost rescore work
-    ys, xs, votes, valid = centre_candidates(
-        acc, threshold_factor * acc_threshold, top_k, hw=hw, block=block
-    )
+    acc = vote_accumulator(emask, dx, dy, num_bins, min_r, max_r)
     sx, sy = pixel_steps(dx, dy)
     return dict(
         emask=emask,
         sx=jnp.where(emask, sx, 0),
         sy=jnp.where(emask, sy, 0),
-        ys=jnp.clip(ys, 0, H - 1),
-        xs=jnp.clip(xs, 0, W - 1),
+        acc=acc,
+    )
+
+
+def propose_from_acc(acc, acc_threshold: float, top_k: int, hw=None,
+                     block: int = 1, threshold_factor: float = 0.5):
+    """Stage 1b — budget-dependent proposal selection from the accumulator.
+
+    Returns (ys, xs, valid, sat): top_k qualifying maxima in descending
+    vote order plus an EXACT saturation flag (more qualifying maxima
+    existed than top_k slots — the overflow trigger; an exactly-filled
+    budget is complete, not saturated).
+    """
+    H, W = acc.shape
+    # sub-1x: margin for direction-quantization + cascade rounding smear;
+    # stage 2 restores exact votes so extra proposals only cost rescore work
+    ys, xs, votes, valid, n_live = centre_candidates(
+        acc, threshold_factor * acc_threshold, top_k, hw=hw, block=block,
+        with_count=True,
+    )
+    return (jnp.clip(ys, 0, H - 1), jnp.clip(xs, 0, W - 1), valid,
+            n_live > top_k)
+
+
+def circle_propose(img_u8, canny_high: float, acc_threshold: float,
+                   min_r: int, max_r: int, num_bins: int, top_k: int,
+                   hysteresis_iters: int = 24, hw=None,
+                   use_pallas: bool = False, block: int = 1,
+                   threshold_factor: float = 0.5):
+    """Stage 1: edges + gradient steps + approximate-accumulator proposals
+    (circle_plane_state + propose_from_acc).
+
+    Returns dict(emask, sx, sy, ys, xs, valid, sat). A lower threshold
+    (threshold_factor x acc_threshold) compensates for direction
+    quantization spreading votes off the true peak cell; stage 2 restores
+    exact OpenCV vote counts. See DetectionConfig.propose_threshold_factor
+    for the measured margin behind the pipeline's default.
+    """
+    del use_pallas  # the shipped accumulator is the XLA cascade
+    state = circle_plane_state(img_u8, canny_high, min_r, max_r, num_bins,
+                               hysteresis_iters=hysteresis_iters, hw=hw)
+    ys, xs, valid, sat = propose_from_acc(
+        state["acc"], acc_threshold, top_k, hw=hw, block=block,
+        threshold_factor=threshold_factor,
+    )
+    return dict(
+        emask=state["emask"],
+        sx=state["sx"],
+        sy=state["sy"],
+        ys=ys,
+        xs=xs,
         valid=valid,
+        sat=sat,
     )
 
 
@@ -766,10 +819,12 @@ def provisional_ring(patch, ys, xs, valid, acc_threshold: float, H: int,
     The partial test alone may accept false peaks (the unknown neighbour
     might dominate), so survivors get a second exact-vote pass at
     cells=3, which sees all four neighbours and decides the full test —
-    see circle_candidates. Returns (ys_p, xs_p, valid_p) each [budget],
-    compacted by descending votes (a plain top_k: validity is encoded as
-    score > 0, and vote order makes truncation drop the least-supported
-    ring cells first if the budget ever saturates).
+    see circle_candidates. Returns (ys_p, xs_p, valid_p, n_live): the
+    first three [budget], compacted by descending votes (a plain top_k:
+    validity is encoded as score > 0, and vote order makes truncation
+    drop the least-supported ring cells first if the budget ever
+    saturates); n_live is the exact pre-truncation count of passing ring
+    cells (n_live > budget == real truncation — the overflow trigger).
     """
     K = patch.shape[0]
     flat = patch.reshape(K, 25)
@@ -808,7 +863,7 @@ def provisional_ring(patch, ys, xs, valid, acc_threshold: float, H: int,
     top, idx = jax.lax.top_k(score, budget)
     ys_p = jnp.clip(cy.reshape(-1)[idx], 0, H - 1)
     xs_p = jnp.clip(cx.reshape(-1)[idx], 0, W - 1)
-    return ys_p, xs_p, top > 0.0
+    return ys_p, xs_p, top > 0.0, jnp.sum(ok, dtype=jnp.int32)
 
 
 def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
@@ -828,15 +883,15 @@ def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
 
     Returns (ys_c, xs_c, votes, valid2, sat): the first four
     [K*9 + prov_budget] (or [peak_budget] when compacting); sat is a
-    scalar bool — a capacity filled completely (ring budget, or unique
-    peaks > peak_budget), so real candidates may have been truncated
-    (callers use it to trigger the big-budget overflow pass).
+    scalar bool — a capacity TRUNCATED real candidates (more passing ring
+    cells than the ring budget, or more unique peaks than peak_budget),
+    so callers must trigger the big-budget overflow pass.
     """
     patch = circle_votes(emask, sx, sy, ys, xs, valid, min_r, max_r,
                          use_pallas=use_pallas, cells=5)
     ys_c, xs_c, votes_c, ok_c = circle_recentre(
         patch, ys, xs, valid, acc_threshold, H, W, hw=hw)
-    ys_p, xs_p, valid_p = provisional_ring(
+    ys_p, xs_p, valid_p, n_ring = provisional_ring(
         patch, ys, xs, valid, acc_threshold, H, W, prov_budget, hw=hw)
     patch3 = circle_votes(emask, sx, sy, ys_p, xs_p, valid_p, min_r, max_r,
                           use_pallas=use_pallas, cells=3)
@@ -855,12 +910,13 @@ def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
     xs_all = jnp.concatenate([xs_c, xs_p])
     votes_all = jnp.concatenate([votes_c, c])
     ok_all = jnp.concatenate([ok_c, ok_p])
+    ring_sat = n_ring > prov_budget
     if peak_budget is None:
-        return ys_all, xs_all, votes_all, ok_all, valid_p[-1]
+        return ys_all, xs_all, votes_all, ok_all, ring_sat
     ys_k, xs_k, votes_k, ok_k, over = compact_candidates(
         ys_all, xs_all, votes_all, ok_all, W, peak_budget, dedupe=True
     )
-    return ys_k, xs_k, votes_k, ok_k, valid_p[-1] | over
+    return ys_k, xs_k, votes_k, ok_k, ring_sat | over
 
 
 def compact_candidates(ys, xs, votes, valid, W: int, budget: int,

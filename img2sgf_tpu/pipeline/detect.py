@@ -25,8 +25,9 @@ from ..grid.complete import validate_grid
 from ..grid.identify import identify_board
 from ..hough.circles import (
     circle_finalize,
-    circle_propose,
+    circle_plane_state,
     circle_candidates,
+    propose_from_acc,
     radius_support_pool,
 )
 from ..hough.erase import erase_circles
@@ -126,60 +127,87 @@ def _pre_circles(rgb_u8, cfg: DetectionConfig, hw):
     return grey, edges, variants
 
 
-def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes,
-                       top_k: int | None = None,
-                       prov_budget: int | None = None,
-                       peak_budget: int | None = None):
-    """Circle detection over a pool of [P, H, W] planes.
+def _plane_state_pool(planes, cfg: DetectionConfig, hw_planes):
+    """Budget-independent per-plane circle state (internal Canny, walk
+    steps, cascade accumulator) over a pool of [P, H, W] planes.
 
-    Stages 1-2 (propose, exact patch votes, recentre/NMS) are vmapped per
-    plane; the radius/support stage runs over the FLAT pool so its chunked
-    skip-dead-work branch stays outside any vmap (see radius_support_pool).
-    top_k / prov_budget override the config capacities (the overflow pass).
-    Returns (circles [P, max_out, 3], valid [P, max_out], sat [P] bool) —
-    sat flags planes whose proposal or ring budget filled completely, i.e.
-    real candidates may have been truncated.
+    Computed ONCE per plane; the budget-dependent selection stages
+    (_circles_from_state) can then run repeatedly — base budget first,
+    big-budget overflow for saturated planes — without redoing the ~60%
+    of stage-1 cost that doesn't depend on any capacity knob.
+
+    Chunks the plane axis: one fused XLA program over all B*V planes
+    drops out of the compiler's fast fusion regime (439 -> 259 ms for
+    256 planes when mapped in chunks of 16; same work, better schedule).
     """
-    H, W = planes.shape[-2], planes.shape[-1]
-    use_pallas = _use_pallas_rescore(cfg, H, W)
-    top_k = cfg.max_center_candidates if top_k is None else top_k
-    prov_budget = cfg.max_ring_candidates if prov_budget is None else prov_budget
-    peak_budget = cfg.max_peak_candidates if peak_budget is None else peak_budget
-
-    def propose(img, hw):
-        return circle_propose(
-            img, cfg.circle_canny_high, cfg.circle_acc_threshold,
-            cfg.circle_min_radius, cfg.circle_max_radius,
-            cfg.num_angle_bins, top_k,
-            cfg.hysteresis_iters, hw=hw, use_pallas=use_pallas,
-            block=cfg.propose_block,
-            threshold_factor=cfg.propose_threshold_factor,
-        )
-
-    # chunk the plane axis: one fused XLA program over all B*V planes
-    # drops out of the compiler's fast fusion regime (439 -> 259 ms for
-    # 256 planes when mapped in chunks of 16; same work, better schedule)
     P = planes.shape[0]
     CP = 16 if P % 16 == 0 else (8 if P % 8 == 0 else P)
 
-    with jax.named_scope("circle_propose"):
+    def state(img, hw):
+        return circle_plane_state(
+            img, cfg.circle_canny_high, cfg.circle_min_radius,
+            cfg.circle_max_radius, cfg.num_angle_bins,
+            hysteresis_iters=cfg.hysteresis_iters, hw=hw,
+        )
+
+    with jax.named_scope("circle_plane_state"):
         if hw_planes is None:
             st = jax.lax.map(
-                jax.vmap(lambda im: propose(im, None)),
+                jax.vmap(lambda im: state(im, None)),
                 planes.reshape(P // CP, CP, *planes.shape[1:]),
             )
         else:
             st = jax.lax.map(
-                lambda t: jax.vmap(propose)(t[0], (t[1], t[2])),
+                lambda t: jax.vmap(state)(t[0], (t[1], t[2])),
                 (
                     planes.reshape(P // CP, CP, *planes.shape[1:]),
                     hw_planes[0].reshape(P // CP, CP),
                     hw_planes[1].reshape(P // CP, CP),
                 ),
             )
-        st = jax.tree_util.tree_map(
+        return jax.tree_util.tree_map(
             lambda x: x.reshape(P, *x.shape[2:]), st
         )
+
+
+def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
+                        top_k: int | None = None,
+                        prov_budget: int | None = None,
+                        peak_budget: int | None = None):
+    """Budget-dependent circle selection from precomputed plane state.
+
+    Stages 1b-2 (proposal top-k, exact patch votes, recentre/NMS) are
+    vmapped per plane; the radius/support stage runs over the FLAT pool so
+    its chunked skip-dead-work branch stays outside any vmap (see
+    radius_support_pool). top_k / prov_budget / peak_budget override the
+    config capacities (the overflow pass). Returns (circles [P, max_out,
+    3], valid [P, max_out], sat [P] bool) — sat flags planes where a
+    capacity TRUNCATED candidates (exact counts, not filled-slot
+    heuristics), i.e. the plane needs the big-budget rerun.
+    """
+    H, W = st["acc"].shape[-2], st["acc"].shape[-1]
+    use_pallas = _use_pallas_rescore(cfg, H, W)
+    top_k = cfg.max_center_candidates if top_k is None else top_k
+    prov_budget = cfg.max_ring_candidates if prov_budget is None else prov_budget
+    peak_budget = cfg.max_peak_candidates if peak_budget is None else peak_budget
+
+    with jax.named_scope("circle_propose"):
+        if hw_planes is None:
+            ys, xs, pvalid, psat = jax.vmap(
+                lambda a: propose_from_acc(
+                    a, cfg.circle_acc_threshold, top_k,
+                    block=cfg.propose_block,
+                    threshold_factor=cfg.propose_threshold_factor,
+                )
+            )(st["acc"])
+        else:
+            ys, xs, pvalid, psat = jax.vmap(
+                lambda a, h, w: propose_from_acc(
+                    a, cfg.circle_acc_threshold, top_k, hw=(h, w),
+                    block=cfg.propose_block,
+                    threshold_factor=cfg.propose_threshold_factor,
+                )
+            )(st["acc"], hw_planes[0], hw_planes[1])
     with jax.named_scope("circle_candidates"):
         if hw_planes is None:
             ys_c, xs_c, votes, valid2, ring_sat = jax.vmap(
@@ -189,8 +217,7 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes,
                     use_pallas=use_pallas,
                     prov_budget=prov_budget, peak_budget=peak_budget,
                 )
-            )(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"],
-              st["valid"])
+            )(st["emask"], st["sx"], st["sy"], ys, xs, pvalid)
         else:
             ys_c, xs_c, votes, valid2, ring_sat = jax.vmap(
                 lambda e, a, b, y, x, v, h, w: circle_candidates(
@@ -199,8 +226,8 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes,
                     hw=(h, w), use_pallas=use_pallas,
                     prov_budget=prov_budget, peak_budget=peak_budget,
                 )
-            )(st["emask"], st["sx"], st["sy"], st["ys"], st["xs"],
-              st["valid"], hw_planes[0], hw_planes[1])
+            )(st["emask"], st["sx"], st["sy"], ys, xs, pvalid,
+              hw_planes[0], hw_planes[1])
     with jax.named_scope("circle_radius"):
         r_best, support = radius_support_pool(
             st["emask"], ys_c, xs_c, valid2,
@@ -213,9 +240,19 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes,
                 cfg.circle_min_dist, cfg.max_circles_per_variant,
             )
         )(ys_c, xs_c, valid2, r_best, support)
-    # a full last proposal slot means top_k may have truncated real maxima
-    sat = st["valid"][:, -1] | ring_sat
-    return circles, valid, sat
+    return circles, valid, psat | ring_sat
+
+
+def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes,
+                       top_k: int | None = None,
+                       prov_budget: int | None = None,
+                       peak_budget: int | None = None):
+    """Circle detection over a pool of [P, H, W] planes
+    (_plane_state_pool + _circles_from_state)."""
+    st = _plane_state_pool(planes, cfg, hw_planes)
+    return _circles_from_state(st, cfg, hw_planes, top_k=top_k,
+                               prov_budget=prov_budget,
+                               peak_budget=peak_budget)
 
 
 def _overflow_chunk(P: int) -> int:
@@ -235,20 +272,25 @@ def _circles_pooled(planes, cfg: DetectionConfig, hw_planes):
     real peaks) need a much larger proposal budget than clean diagrams for
     cv2 parity (measured worst needed vote-order rank: ~5.3k on ex5, vs
     <200 on typical diagrams). Static budgets can't be content-adaptive,
-    but compute can: run the base-budget pipeline, then rerun ONLY the
-    saturated planes at the big budget. Saturated planes are sorted to the
-    front of the pool and the big-budget circle stages run over fixed
-    chunks of _overflow_chunk(P) planes under a sequential lax.map whose
-    per-chunk lax.cond is a REAL branch (lax.map lowers to scan, not
-    vmap), so chunks with no saturated plane cost ~nothing. Overflow cost
-    is therefore proportional to the number of saturated planes — one
-    dense scan in a batch of 32 no longer reruns all 256 planes (the
-    previous jnp.any(sat) design, VERDICT r2 weak #2). Unsaturated planes
-    keep their base results; they would be identical under either budget
-    (the valid candidate set is the same, selection is a pure function of
-    it).
+    but compute can: compute the budget-independent plane state ONCE
+    (_plane_state_pool), run the base-budget selection, then rerun ONLY
+    the saturated planes' selection at the big budget — Canny/cascade are
+    shared, not recomputed. Saturated plane INDICES are sorted to the
+    front and the big-budget selection runs over fixed chunks of
+    _overflow_chunk(P) planes under a sequential lax.map whose per-chunk
+    lax.cond is a REAL branch (lax.map lowers to scan, not vmap), so
+    chunks with no saturated plane cost ~nothing — even their state
+    gather sits inside the branch. Overflow cost is therefore
+    proportional to the number of saturated planes (VERDICT r2 weak #2),
+    and saturation itself is an exact truncation count (propose_from_acc
+    / provisional_ring n_live), not a filled-slot heuristic, so an
+    exactly-filled budget no longer triggers a spurious rerun.
+    Unsaturated planes keep their base results; they would be identical
+    under either budget (the valid candidate set is the same, selection
+    is a pure function of it).
     """
-    circles, valid, sat = _circles_on_planes(planes, cfg, hw_planes)
+    st = _plane_state_pool(planes, cfg, hw_planes)
+    circles, valid, sat = _circles_from_state(st, cfg, hw_planes)
     kb = cfg.overflow_center_candidates
     if kb <= cfg.max_center_candidates:
         return circles, valid
@@ -257,17 +299,22 @@ def _circles_pooled(planes, cfg: DetectionConfig, hw_planes):
     RP = _overflow_chunk(P)
     order = jnp.argsort(jnp.logical_not(sat), stable=True)
     inv = jnp.argsort(order)
-    planes_s = planes[order]
     sat_chunk = jnp.any(sat[order].reshape(P // RP, RP), axis=1)
     prov = max(cfg.overflow_ring_candidates, cfg.max_ring_candidates)
     peak = max(cfg.overflow_peak_candidates, cfg.max_peak_candidates)
 
     def big_chunk(args):
-        pl, hwc, any_sat = args
+        idx, any_sat = args
 
         def run():
-            c, v, _ = _circles_on_planes(
-                pl, cfg, hwc, top_k=kb, prov_budget=prov, peak_budget=peak
+            # gather ONLY this chunk's precomputed plane state (the gather
+            # sits inside the cond branch, so unsaturated chunks pay
+            # nothing); Canny/cascade are NOT recomputed at the big budget
+            stc = jax.tree_util.tree_map(lambda a: a[idx], st)
+            hwc = (None if hw_planes is None
+                   else (hw_planes[0][idx], hw_planes[1][idx]))
+            c, v, _ = _circles_from_state(
+                stc, cfg, hwc, top_k=kb, prov_budget=prov, peak_budget=peak
             )
             return c, v
 
@@ -279,19 +326,9 @@ def _circles_pooled(planes, cfg: DetectionConfig, hw_planes):
 
         return jax.lax.cond(any_sat, run, skip)
 
-    shape = (P // RP, RP) + planes.shape[1:]
-    if hw_planes is None:
-        big_c, big_v = jax.lax.map(
-            lambda t: big_chunk((t[0], None, t[1])),
-            (planes_s.reshape(shape), sat_chunk),
-        )
-    else:
-        hs = hw_planes[0][order].reshape(P // RP, RP)
-        ws = hw_planes[1][order].reshape(P // RP, RP)
-        big_c, big_v = jax.lax.map(
-            lambda t: big_chunk(((t[0]), (t[1], t[2]), t[3])),
-            (planes_s.reshape(shape), hs, ws, sat_chunk),
-        )
+    big_c, big_v = jax.lax.map(
+        big_chunk, (order.reshape(P // RP, RP), sat_chunk)
+    )
     big_c = big_c.reshape(P, -1, 3)[inv]
     big_v = big_v.reshape(P, -1)[inv]
     circles = jnp.where(sat[:, None, None], big_c, circles)
