@@ -118,6 +118,26 @@ class DetectionConfig:
     #                                     first marginal loss appears at 0.7
     #                                     (=21, ex8). Raise only with a
     #                                     fresh margin measurement.
+    overflow_margin_factor: float = 0.7  # overflow-trigger vote gate, as a
+    #                                     fraction of circle_acc_threshold.
+    #                                     A proposal-budget truncation needs
+    #                                     the big-budget rerun only if it cut
+    #                                     into proposals that could carry a
+    #                                     cv2-accepted peak — and the same
+    #                                     fixture-wide margin measurement
+    #                                     behind propose_threshold_factor
+    #                                     shows every kept circle's best
+    #                                     proposal carries >= 0.7 * param2
+    #                                     (= 21) approximate votes. Dense
+    #                                     planes whose sub-21 junk maxima
+    #                                     overflow the budget (the steady
+    #                                     state on dense scans: measured
+    #                                     ~3000 qualifying maxima per
+    #                                     Gaussian-k7 plane at 512^2, junk
+    #                                     hovering at the 18-vote floor) no
+    #                                     longer rerun big. <= propose_
+    #                                     threshold_factor restores the
+    #                                     pure-count trigger.
     propose_block: int = 1              # proposal compaction: keep the top
     #                                     cell per BxB block of the masked
     #                                     cascade accumulator before top_k

@@ -227,16 +227,19 @@ def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int,
 
 
 def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
-                      block: int = 1, with_count: bool = False):
+                      block: int = 1, with_count: bool = False,
+                      margin: float | None = None):
     """Accumulator local maxima > threshold, descending vote order.
 
     Returns (ys, xs, votes, valid) each [top_k]; with_count appends the
     TOTAL number of qualifying maxima in the plane (before the top_k
     truncation), which callers use for exact saturation detection
     (n > top_k means real maxima were truncated; n == top_k means the
-    budget was exactly filled and nothing was lost). Border cells excluded
-    (OpenCV scans y, x in [1, size-2]); with hw=(h, w) the scan bound is
-    the content block, not the canvas.
+    budget was exactly filled and nothing was lost). margin (requires
+    with_count) additionally appends the count of qualifying maxima with
+    votes >= margin — see propose_from_acc's margin-gated saturation.
+    Border cells excluded (OpenCV scans y, x in [1, size-2]); with
+    hw=(h, w) the scan bound is the content block, not the canvas.
 
     block > 1: keep only the strongest maximum per (block x block) tile
     before ranking. This spends the fixed candidate budget on DISTINCT
@@ -264,6 +267,9 @@ def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
         & interior
     )
     n_live = jnp.sum(is_max, dtype=jnp.int32)
+    counts = (n_live,)
+    if margin is not None:
+        counts = counts + (jnp.sum(is_max & (acc >= margin), dtype=jnp.int32),)
     if block > 1:
         b = block
         Hb, Wb = -(-H // b), -(-W // b)
@@ -279,9 +285,11 @@ def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
         valid = votes > 0
         # blockwise compaction keeps one max per tile, so the relevant
         # live count for saturation is the number of live TILES
-        n_live = jnp.sum(bmax > 0, dtype=jnp.int32)
+        counts = (jnp.sum(bmax > 0, dtype=jnp.int32),)
+        if margin is not None:
+            counts = counts + (jnp.sum(bmax >= margin, dtype=jnp.int32),)
         out = (jnp.minimum(ys, H - 1), jnp.minimum(xs, W - 1), votes, valid)
-        return out + (n_live,) if with_count else out
+        return out + counts if with_count else out
     score = jnp.where(is_max, acc, -1.0).reshape(-1)
     if W % 2 == 0:
         # lossless 2x shrink before the (sort-bound) top_k: two
@@ -302,7 +310,7 @@ def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
         votes, flat = jax.lax.top_k(score, top_k)
     valid = votes > 0
     out = (flat // W, flat % W, votes, valid)
-    return out + (n_live,) if with_count else out
+    return out + counts if with_count else out
 
 
 def pixel_steps(dx, dy):
@@ -667,23 +675,49 @@ def circle_plane_state(img_u8, canny_high: float, min_r: int, max_r: int,
 
 
 def propose_from_acc(acc, acc_threshold: float, top_k: int, hw=None,
-                     block: int = 1, threshold_factor: float = 0.5):
+                     block: int = 1, threshold_factor: float = 0.5,
+                     margin_factor: float | None = None):
     """Stage 1b — budget-dependent proposal selection from the accumulator.
 
     Returns (ys, xs, valid, sat): top_k qualifying maxima in descending
     vote order plus an EXACT saturation flag (more qualifying maxima
     existed than top_k slots — the overflow trigger; an exactly-filled
     budget is complete, not saturated).
+
+    margin_factor gates the trigger on the vote level the truncation cut
+    into: proposals matter only as carriers of a cv2-accepted exact peak,
+    and the measured floor-margin analysis (DetectionConfig
+    .propose_threshold_factor: every cv2-kept circle's best proposal
+    carries >= margin_factor * acc_threshold approximate votes, 0.7 = 21
+    at the defaults, over 4950 circles / 17 fixtures) means a truncation
+    that only dropped proposals BELOW that level cannot have lost a
+    needed one — the needed (>= margin) proposals all rank above the
+    dropped ones and were kept. So sat additionally requires that >=
+    top_k maxima sit at-or-above the margin (i.e. the top_k'th kept vote
+    reached it). Junk-dense planes whose sub-margin maxima overflow the
+    budget — the steady state on dense scans — no longer trigger the
+    big-budget rerun. None, or a margin at/below the proposal floor,
+    restores the pure-count trigger.
     """
     H, W = acc.shape
+    floor = threshold_factor * acc_threshold
     # sub-1x: margin for direction-quantization + cascade rounding smear;
     # stage 2 restores exact votes so extra proposals only cost rescore work
-    ys, xs, votes, valid, n_live = centre_candidates(
-        acc, threshold_factor * acc_threshold, top_k, hw=hw, block=block,
-        with_count=True,
-    )
-    return (jnp.clip(ys, 0, H - 1), jnp.clip(xs, 0, W - 1), valid,
-            n_live > top_k)
+    margin = None
+    if margin_factor is not None and margin_factor * acc_threshold > floor:
+        margin = margin_factor * acc_threshold
+    if margin is None:
+        ys, xs, votes, valid, n_live = centre_candidates(
+            acc, floor, top_k, hw=hw, block=block, with_count=True,
+        )
+        sat = n_live > top_k
+    else:
+        ys, xs, votes, valid, n_live, n_margin = centre_candidates(
+            acc, floor, top_k, hw=hw, block=block, with_count=True,
+            margin=margin,
+        )
+        sat = (n_live > top_k) & (n_margin >= top_k)
+    return (jnp.clip(ys, 0, H - 1), jnp.clip(xs, 0, W - 1), valid, sat)
 
 
 def circle_propose(img_u8, canny_high: float, acc_threshold: float,

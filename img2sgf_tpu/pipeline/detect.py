@@ -198,6 +198,7 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
                     a, cfg.circle_acc_threshold, top_k,
                     block=cfg.propose_block,
                     threshold_factor=cfg.propose_threshold_factor,
+                    margin_factor=cfg.overflow_margin_factor,
                 )
             )(st["acc"])
         else:
@@ -206,6 +207,7 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
                     a, cfg.circle_acc_threshold, top_k, hw=(h, w),
                     block=cfg.propose_block,
                     threshold_factor=cfg.propose_threshold_factor,
+                    margin_factor=cfg.overflow_margin_factor,
                 )
             )(st["acc"], hw_planes[0], hw_planes[1])
     with jax.named_scope("circle_candidates"):
@@ -284,7 +286,12 @@ def _circles_pooled(planes, cfg: DetectionConfig, hw_planes):
     proportional to the number of saturated planes (VERDICT r2 weak #2),
     and saturation itself is an exact truncation count (propose_from_acc
     / provisional_ring n_live), not a filled-slot heuristic, so an
-    exactly-filled budget no longer triggers a spurious rerun.
+    exactly-filled budget no longer triggers a spurious rerun. Proposal
+    truncation is additionally margin-gated (propose_from_acc
+    margin_factor / DetectionConfig.overflow_margin_factor): overflowing
+    the budget with sub-margin junk maxima — the steady state on dense
+    planes — cannot have dropped a proposal that carries a cv2-accepted
+    peak, so only a truncation that cut into >= margin votes reruns.
     Unsaturated planes keep their base results; they would be identical
     under either budget (the valid candidate set is the same, selection
     is a pure function of it).

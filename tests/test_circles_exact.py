@@ -411,3 +411,51 @@ def test_recentre_5x5_true_nms_semantics():
         if ok
     )
     assert got == sorted(want)
+
+
+def test_margin_gated_overflow_trigger():
+    """propose_from_acc margin gate: a proposal-budget overflow made of
+    sub-margin junk maxima must NOT flag saturation (the dropped
+    proposals cannot carry a cv2-accepted peak — DetectionConfig
+    .overflow_margin_factor), while an overflow that cuts into >= margin
+    votes must. Maxima here are isolated cells on an odd-index lattice
+    so the NMS test keeps all of them."""
+    import jax
+
+    from img2sgf_tpu.hough.circles import propose_from_acc
+
+    H = W = 64
+    K = 16
+    thresh, floor_f, margin_f = 30.0, 0.6, 0.7  # floor 18, margin 21
+
+    def plane(n_low, n_high):
+        a = np.zeros((H, W), np.float32)
+        cells = [(y, x) for y in range(1, H - 1, 2)
+                 for x in range(1, W - 1, 2)]
+        for i in range(n_low):
+            a[cells[i]] = 19.0  # above floor, below margin
+        for i in range(n_high):
+            a[cells[n_low + i]] = 25.0  # above margin
+        return jnp.asarray(a)
+
+    run = jax.jit(lambda a: propose_from_acc(
+        a, thresh, K, threshold_factor=floor_f, margin_factor=margin_f))
+
+    # 40 junk maxima overflow the 16-slot budget, but none reach 21 votes
+    _, _, valid, sat = run(plane(40, 0))
+    assert not bool(sat)
+    assert int(np.asarray(valid).sum()) == K  # budget genuinely overflowed
+
+    # mixed overflow: 10 junk + 30 strong — the cut is inside >= margin
+    _, _, _, sat = run(plane(10, 30))
+    assert bool(sat)
+
+    # strong maxima exactly fill the budget: complete, not saturated
+    _, _, _, sat = run(plane(0, K))
+    assert not bool(sat)
+
+    # margin at/below the floor degrades to the pure-count trigger
+    run_nomargin = jax.jit(lambda a: propose_from_acc(
+        a, thresh, K, threshold_factor=floor_f, margin_factor=floor_f))
+    _, _, _, sat = run_nomargin(plane(40, 0))
+    assert bool(sat)
