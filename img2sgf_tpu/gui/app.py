@@ -178,24 +178,37 @@ def run_gui(input_path=None, output_path=None) -> int:
                     processed_canvas.create_line(x * s, ymin, x * s, ymax, fill="green", width=2)
 
     def draw_cluster_plot():
+        # each cluster's member lines plot in ONE color (img2sgf.py:315-322
+        # colors by clusters.labels_); membership is re-derived with the
+        # same gap-cut rule as grid.cluster.cluster_1d (sorted points, new
+        # cluster where the neighbour gap >= min_grid_spacing)
         cluster_ax.clear()
         res = session.result
         if res is not None:
             colours = 10 * ["r", "g", "b", "c", "k", "y", "m"]
+            spacing = session.cfg.min_grid_spacing
+
+            def cluster_ids(sorted_vals):
+                if not len(sorted_vals):
+                    return np.zeros(0, int)
+                return np.concatenate(
+                    [[0], np.cumsum(np.diff(sorted_vals) >= spacing)]
+                ).astype(int)
+
             hl = np.sort(np.asarray(res.hlines)[np.asarray(res.hlines_valid)])
             vl = np.sort(np.asarray(res.vlines)[np.asarray(res.vlines_valid)])
             hc = np.asarray(res.hcentres)[: int(res.hcount)]
             vc = np.asarray(res.vcentres)[: int(res.vcount)]
             if len(hl):
                 ymin, ymax = hl.min(), hl.max()
-                for i, y in enumerate(hl):
-                    cluster_ax.plot(ymin, y, color=colours[i % len(colours)], marker=".")
+                for cid, y in zip(cluster_ids(hl), hl):
+                    cluster_ax.plot(ymin, y, color=colours[cid % len(colours)], marker=".")
                 for x in vc:
                     cluster_ax.plot((x, x), (ymin, ymax), "green", linewidth=1)
             if len(vl):
                 xmin, xmax = vl.min(), vl.max()
-                for i, x in enumerate(vl):
-                    cluster_ax.plot(x, xmin, color=colours[i % len(colours)], marker=".")
+                for cid, x in zip(cluster_ids(vl), vl):
+                    cluster_ax.plot(x, xmin, color=colours[cid % len(colours)], marker=".")
                 for y in hc:
                     cluster_ax.plot((xmin, xmax), (y, y), color="green", linewidth=1)
         cluster_plot.draw()

@@ -101,6 +101,22 @@ def _cascade_tables(num_bins: int, min_r: int, max_r: int, seg: int = 5):
     return inner, outer
 
 
+def direction_bins(dx, dy, num_bins: int):
+    """Gradient direction quantized to [0, num_bins) over [0, pi)."""
+    ang = jnp.arctan2(dy.astype(jnp.float32), dx.astype(jnp.float32))
+    step = math.pi / num_bins
+    return jnp.round(ang / step).astype(jnp.int32) % num_bins
+
+
+def direction_labels(emask, dx, dy, num_bins: int):
+    """Per-pixel vote label: direction bin on edge pixels, the num_bins
+    sentinel elsewhere. uint8 (the accumulators' byte packing and the
+    fused compare chains both want the narrowest label plane)."""
+    assert num_bins < 255
+    return jnp.where(emask, direction_bins(dx, dy, num_bins),
+                     num_bins).astype(jnp.uint8)
+
+
 def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
                              max_r: int, group: int | None = None):
     """Approximate centre-vote accumulator via a two-level shift cascade.
@@ -109,9 +125,7 @@ def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
     are restored by exact_rescore), at ~18 plane-ops per direction bin
     instead of ~55.
     """
-    ang = jnp.arctan2(dy.astype(jnp.float32), dx.astype(jnp.float32))
-    step = math.pi / num_bins
-    bins = jnp.round(ang / step).astype(jnp.int32) % num_bins
+    bins = direction_bins(dx, dy, num_bins)
 
     H, W = edge_mask.shape
     inner, outer = _cascade_tables(num_bins, min_r, max_r)
@@ -175,6 +189,113 @@ def vote_accumulator_cascade(edge_mask, dx, dy, num_bins: int, min_r: int,
     return acc.astype(jnp.float32)
 
 
+def vote_accumulator_packed4(labels4, num_bins: int, min_r: int, max_r: int):
+    """Cascade accumulator for FOUR planes at once, one byte each inside a
+    uint32 element (round-4 A/B winner: 11.9 ms vs 43.9 ms per 64 planes
+    at 512^2 on v5e, bit-exact — tools/micro_cascade_pack.py).
+
+    Why it wins: the shipped int8 cascade measured only 21% slower at 2x
+    the bytes (bf16 ladder, DESIGN.md), i.e. it is instruction-ISSUE
+    bound, not HBM-bandwidth bound. All shift offsets are plane-
+    independent, so packing 4 planes into the 4 bytes of one uint32 moves
+    4 planes per vector op at identical HBM bytes — ~4x fewer issues.
+
+    Exactness (all integer byte fields, no cross-byte carries):
+      * labels <= num_bins <= 0x7E, so no byte has bit 7 set and the
+        per-byte equality test below is exact;
+      * e4 bytes in {0, 1}; inner sums <= seg = 5; per-bin contrib
+        <= 2 * n_r; 4-bin group sums <= 8 * n_r <= 255 (caller-checked).
+    Bit-equality vs 4 single-plane cascades is pinned by
+    tests/test_circles_exact.py::test_packed4_pool_accumulator_bit_exact.
+
+    labels4: [4, H, W] uint8 from direction_labels. Returns [4, H, W] f32.
+    """
+    assert labels4.shape[0] == 4 and labels4.dtype == jnp.uint8
+    n_r = max_r - min_r + 1
+    assert n_r % 5 == 0 and num_bins <= 0x7E and 8 * n_r <= 255
+    _, H, W = labels4.shape
+    lbl4 = (
+        labels4[0].astype(jnp.uint32)
+        | (labels4[1].astype(jnp.uint32) << 8)
+        | (labels4[2].astype(jnp.uint32) << 16)
+        | (labels4[3].astype(jnp.uint32) << 24)
+    )
+
+    inner, outer = _cascade_tables(num_bins, min_r, max_r)
+    B = max_r
+    pad = B + 3
+    lbl4 = jnp.pad(lbl4, pad,
+                   constant_values=np.uint32(num_bins * 0x01010101))
+
+    SEV = jnp.uint32(0x7F7F7F7F)
+    ONES = jnp.uint32(0x01010101)
+    acc = jnp.zeros((4, H, W), jnp.int16)
+    GROUP = 4  # bins per barrier step; byte bound GROUP * 2 * n_r <= 255
+    for g in range(0, num_bins, GROUP):
+        gsum = None  # packed 4-bin partial, fields <= GROUP * 2 * n_r
+        for d in range(g, min(g + GROUP, num_bins)):
+            # per-byte equality, exact (no byte has bit 7 set):
+            # byte == d  <=>  (lbl ^ d) == 0  <=>  bit7 of ((lbl^d)+0x7F)
+            # is clear
+            v = lbl4 ^ jnp.uint32(d * 0x01010101)
+            e4 = (jnp.bitwise_not(v + SEV) >> 7) & ONES
+            P = None
+            for (jy, jx) in inner[d]:
+                t = jax.lax.slice(
+                    e4, (pad - B - jy, pad - B - jx),
+                    (pad - B - jy + H + 2 * B, pad - B - jx + W + 2 * B),
+                )
+                P = t if P is None else P + t
+            contrib = None
+            for (by, bx) in outer[d]:
+                t = jax.lax.slice(P, (B - by, B - bx), (B - by + H, B - bx + W))
+                contrib = t if contrib is None else contrib + t
+            gsum = contrib if gsum is None else gsum + contrib
+        planes = [((gsum >> (8 * i)) & jnp.uint32(0xFF)).astype(jnp.int16)
+                  for i in range(4)]
+        acc, lbl4 = jax.lax.optimization_barrier(
+            (acc + jnp.stack(planes), lbl4))
+    return acc.astype(jnp.float32)
+
+
+def vote_accumulator_pool(emask, dx, dy, num_bins: int, min_r: int,
+                          max_r: int):
+    """Accumulators for a POOL of [P, H, W] planes.
+
+    Uses the byte-packed 4-planes-per-uint32 cascade when the exact byte
+    bounds hold (the pipeline defaults), padding the pool to a multiple
+    of 4 with dead planes; falls back to the per-plane accumulator
+    otherwise. Bit-identical to vmapping vote_accumulator either way.
+    """
+    if not cascade_pool_eligible(num_bins, min_r, max_r):
+        return jax.vmap(
+            lambda e, a, b: vote_accumulator(e, a, b, num_bins, min_r, max_r)
+        )(emask, dx, dy)
+    lbl = direction_labels(emask, dx, dy, num_bins)
+    return vote_accumulator_pool_labels(lbl, num_bins, min_r, max_r)
+
+
+def vote_accumulator_pool_labels(lbl, num_bins: int, min_r: int, max_r: int):
+    """Byte-packed pooled accumulator from [P, H, W] uint8 label planes
+    (direction_labels). Caller must hold cascade_pool_eligible."""
+    P, H, W = lbl.shape
+    padn = (-P) % 4
+    if padn:
+        lbl = jnp.concatenate(
+            [lbl, jnp.full((padn, H, W), num_bins, jnp.uint8)])
+    G = (P + padn) // 4
+    # chunked maps mirror the measured micro-benchmark structure (outer
+    # chunks bound compile size, inner map serialises the packed kernels)
+    CG = 4 if G % 4 == 0 else (2 if G % 2 == 0 else 1)
+    acc = jax.lax.map(
+        lambda t: jax.lax.map(
+            lambda q: vote_accumulator_packed4(q, num_bins, min_r, max_r), t
+        ),
+        lbl.reshape(G // CG, CG, 4, H, W),
+    )
+    return acc.reshape(-1, H, W)[:P]
+
+
 def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int,
                      use_pallas: bool = False):
     """Centre-vote accumulator A[H, W] (f32).
@@ -194,9 +315,8 @@ def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int,
     if (max_r - min_r + 1) % 5 == 0:
         return vote_accumulator_cascade(edge_mask, dx, dy, num_bins, min_r, max_r)
 
-    ang = jnp.arctan2(dy.astype(jnp.float32), dx.astype(jnp.float32))
+    bins = direction_bins(dx, dy, num_bins)
     step = math.pi / num_bins
-    bins = jnp.round(ang / step).astype(jnp.int32) % num_bins
 
     # Per bin: one fused kernel of static shifted adds (XLA fuses the
     # unrolled slice chain into a single pass over the bin's edge plane).
@@ -644,8 +764,16 @@ def greedy_min_dist(ys, xs, live, min_dist: float, max_out: int | None = None):
     return accepted
 
 
+def cascade_pool_eligible(num_bins: int, min_r: int, max_r: int) -> bool:
+    """True when the byte-packed pooled accumulator's exact integer
+    bounds hold (see vote_accumulator_packed4)."""
+    n_r = max_r - min_r + 1
+    return n_r % 5 == 0 and num_bins <= 0x7E and 8 * n_r <= 255
+
+
 def circle_plane_state(img_u8, canny_high: float, min_r: int, max_r: int,
-                       num_bins: int, hysteresis_iters: int = 24, hw=None):
+                       num_bins: int, hysteresis_iters: int = 24, hw=None,
+                       with_acc: bool = True):
     """Stage 1a — the budget-INDEPENDENT per-plane work: internal Canny,
     gradient walk steps, and the approximate vote accumulator.
 
@@ -653,6 +781,12 @@ def circle_plane_state(img_u8, canny_high: float, min_r: int, max_r: int,
     (pipeline._circles_pooled) can rerun the budget-dependent selection
     stages at a bigger capacity WITHOUT recomputing Sobel/Canny/cascade
     (~60% of stage-1 cost). Returns dict(emask, sx, sy, acc).
+
+    with_acc=False: return dict(emask, sx, sy, lbl) instead — the uint8
+    direction-label plane that feeds the pooled byte-packed accumulator
+    (pipeline._plane_state_pool computes the acc for 4 planes per uint32
+    element there; the per-plane accumulator here is the fallback and
+    the single-image path).
     """
     if hw is not None:
         from ..ops.common import border_remap
@@ -664,14 +798,17 @@ def circle_plane_state(img_u8, canny_high: float, min_r: int, max_r: int,
     edges = canny(img_u8, max(canny_high / 2, 1), canny_high,
                   iters=hysteresis_iters, hw=hw)
     emask = (edges > 0) & ((dx != 0) | (dy != 0))
-    acc = vote_accumulator(emask, dx, dy, num_bins, min_r, max_r)
     sx, sy = pixel_steps(dx, dy)
-    return dict(
+    out = dict(
         emask=emask,
         sx=jnp.where(emask, sx, 0),
         sy=jnp.where(emask, sy, 0),
-        acc=acc,
     )
+    if with_acc:
+        out["acc"] = vote_accumulator(emask, dx, dy, num_bins, min_r, max_r)
+    else:
+        out["lbl"] = direction_labels(emask, dx, dy, num_bins)
+    return out
 
 
 def propose_from_acc(acc, acc_threshold: float, top_k: int, hw=None,
@@ -903,7 +1040,8 @@ def provisional_ring(patch, ys, xs, valid, acc_threshold: float, H: int,
 def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
                       acc_threshold: float, H: int, W: int, hw=None,
                       use_pallas: bool = False, prov_budget: int = 512,
-                      peak_budget: int | None = None):
+                      peak_budget: int | None = None,
+                      dedupe_first: bool = False):
     """Stages 2a-2c: exact candidate extraction around the proposals.
 
     1. 5x5 exact-vote patches (circle_votes) + multi-emission recentre:
@@ -948,13 +1086,14 @@ def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
     if peak_budget is None:
         return ys_all, xs_all, votes_all, ok_all, ring_sat
     ys_k, xs_k, votes_k, ok_k, over = compact_candidates(
-        ys_all, xs_all, votes_all, ok_all, W, peak_budget, dedupe=True
+        ys_all, xs_all, votes_all, ok_all, W, peak_budget, dedupe=True,
+        dedupe_first=dedupe_first,
     )
     return ys_k, xs_k, votes_k, ok_k, ring_sat | over
 
 
 def compact_candidates(ys, xs, votes, valid, W: int, budget: int,
-                       dedupe: bool = False):
+                       dedupe: bool = False, dedupe_first: bool = False):
     """Compact the candidate stream to a fixed [budget] live-first prefix.
 
     The multi-emission recentre emits ~0-2 surviving cells per proposal,
@@ -973,20 +1112,54 @@ def compact_candidates(ys, xs, votes, valid, W: int, budget: int,
     proportional to unique peaks, which measured ~75 ms cheaper per
     256-plane batch than carrying duplicates through them.
 
-    Cost shape (measured v5e, [K*9+512 = 9728] rows x 256 planes): a
-    bool-key argsort is ~9 ms, an i32-key argsort ~83 ms. So the dedupe
-    path first live-compacts with the cheap bool sort, then dedupes on
-    the [budget]-sized prefix where the key sort is ~7x cheaper.
+    Live rows are compacted in DESCENDING vote order (a top_k on the
+    vote key), so if truncation does occur it drops the weakest
+    candidates — this matters in the big-budget overflow pass, whose own
+    sat flag has no further rerun to trigger (it would otherwise drop
+    arbitrary stream-order rows). Ties break by stream index (top_k's
+    smaller-index rule). A full i32-key argsort for the dedupe would
+    cost ~83 ms per 256 planes (measured v5e, [K*9+512 = 9728] rows),
+    so the dedupe runs on the [budget]-sized compacted prefix where the
+    key sort is ~7x cheaper.
+
+    dedupe_first: dedupe the FULL stream before the budget truncation, so
+    the budget applies to UNIQUE peaks and sat is exact on the unique
+    count. This is the big-budget overflow path's mode: its emission
+    stream on dense scans carries ~2.5x duplicates (measured ex5: up to
+    6715 live rows but only ~2640 unique peaks per plane), so truncating
+    before deduping threw away real peaks while keeping redundant copies
+    — the source of the round-3 ex5 circle-count residual. The full-
+    stream key sort costs more than the compact-then-dedupe order, which
+    is why the BASE pass keeps the cheap order (its truncation triggers
+    the big rerun via sat, so nothing is lost there).
 
     Returns (ys, xs, votes, valid, sat) each [budget]; sat flags that
     more than `budget` live rows existed (truncation possible — callers
     treat it like a proposal-budget saturation and rerun big).
     """
+    if dedupe_first:
+        big = jnp.iinfo(jnp.int32).max
+        key = jnp.where(valid, ys * W + xs, big)
+        order = jnp.argsort(key)
+        ks = key[order]
+        dup = jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_), ks[1:] == ks[:-1]]
+        )
+        live = (ks < big) & jnp.logical_not(dup)
+        sat = jnp.sum(live) > budget
+        # duplicates share bitwise-identical votes, so dropping the extra
+        # copies first and THEN truncating by descending votes keeps the
+        # strongest `budget` unique peaks
+        score = jnp.where(live, votes[order], -jnp.inf)
+        top, sel2 = jax.lax.top_k(score, min(budget, score.shape[0]))
+        sel = order[sel2]
+        return ys[sel], xs[sel], votes[sel], top != -jnp.inf, sat
     # conservative saturation: counted on the full stream INCLUDING
     # duplicates (a dup-inflated count can only add big-pass reruns,
     # never miss one)
     sat = jnp.sum(valid) > budget
-    sel = jnp.argsort(jnp.logical_not(valid), stable=True)[:budget]
+    score = jnp.where(valid, votes, -jnp.inf)  # dead rows sort last
+    top, sel = jax.lax.top_k(score, min(budget, score.shape[0]))
     ys, xs, votes, valid = ys[sel], xs[sel], votes[sel], valid[sel]
     if not dedupe:
         return ys, xs, votes, valid, sat

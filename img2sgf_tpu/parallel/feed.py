@@ -60,20 +60,21 @@ def feed_and_detect(mesh: Mesh, run, files, height: int, width: int,
     from ..hostio.batch_loader import decode_batch
 
     pc = jax.process_count()
-    per = -(-len(files) // pc)
-    n_pad = pc * per - len(files)
+    n_files = len(files)
+    per = -(-n_files // pc)
+    n_pad = pc * per - n_files
     files = list(files) + [files[-1]] * n_pad
     if thresholds is None:
         t = float(choose_line_threshold(height, width))
         thr_global = np.full((len(files),), t, np.float32)
     else:
         thr_global = np.asarray(thresholds, np.float32)
+        assert thr_global.shape[0] == n_files, (
+            "thresholds must match the global file list length"
+        )
         thr_global = np.concatenate(
             [thr_global, np.repeat(thr_global[-1:], n_pad)]
         ).astype(np.float32)
-        assert thr_global.shape[0] == len(files), (
-            "thresholds must match the global file list length"
-        )
 
     pi = jax.process_index()
     mine = local_file_slice(files, pi, pc)

@@ -139,15 +139,27 @@ def _plane_state_pool(planes, cfg: DetectionConfig, hw_planes):
     Chunks the plane axis: one fused XLA program over all B*V planes
     drops out of the compiler's fast fusion regime (439 -> 259 ms for
     256 planes when mapped in chunks of 16; same work, better schedule).
+
+    The accumulator runs OUTSIDE the per-plane map when the byte-packed
+    pooled cascade's bounds hold (the defaults): 4 planes share each
+    uint32 element, ~4x fewer vector issues at identical HBM bytes
+    (hough.circles.vote_accumulator_packed4; 43.9 -> 11.9 ms per 64
+    planes at 512^2 on v5e, bit-exact).
     """
+    from ..hough.circles import cascade_pool_eligible, vote_accumulator_pool_labels
+
     P = planes.shape[0]
     CP = 16 if P % 16 == 0 else (8 if P % 8 == 0 else P)
+    pooled_acc = cascade_pool_eligible(
+        cfg.num_angle_bins, cfg.circle_min_radius, cfg.circle_max_radius
+    )
 
     def state(img, hw):
         return circle_plane_state(
             img, cfg.circle_canny_high, cfg.circle_min_radius,
             cfg.circle_max_radius, cfg.num_angle_bins,
             hysteresis_iters=cfg.hysteresis_iters, hw=hw,
+            with_acc=not pooled_acc,
         )
 
     with jax.named_scope("circle_plane_state"):
@@ -165,15 +177,23 @@ def _plane_state_pool(planes, cfg: DetectionConfig, hw_planes):
                     hw_planes[1].reshape(P // CP, CP),
                 ),
             )
-        return jax.tree_util.tree_map(
+        st = jax.tree_util.tree_map(
             lambda x: x.reshape(P, *x.shape[2:]), st
         )
+    if pooled_acc:
+        with jax.named_scope("cascade_packed4"):
+            st["acc"] = vote_accumulator_pool_labels(
+                st.pop("lbl"), cfg.num_angle_bins,
+                cfg.circle_min_radius, cfg.circle_max_radius,
+            )
+    return st
 
 
 def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
                         top_k: int | None = None,
                         prov_budget: int | None = None,
-                        peak_budget: int | None = None):
+                        peak_budget: int | None = None,
+                        dedupe_first: bool = False):
     """Budget-dependent circle selection from precomputed plane state.
 
     Stages 1b-2 (proposal top-k, exact patch votes, recentre/NMS) are
@@ -218,6 +238,7 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
                     cfg.circle_max_radius, cfg.circle_acc_threshold, H, W,
                     use_pallas=use_pallas,
                     prov_budget=prov_budget, peak_budget=peak_budget,
+                    dedupe_first=dedupe_first,
                 )
             )(st["emask"], st["sx"], st["sy"], ys, xs, pvalid)
         else:
@@ -227,6 +248,7 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
                     cfg.circle_max_radius, cfg.circle_acc_threshold, H, W,
                     hw=(h, w), use_pallas=use_pallas,
                     prov_budget=prov_budget, peak_budget=peak_budget,
+                    dedupe_first=dedupe_first,
                 )
             )(st["emask"], st["sx"], st["sy"], ys, xs, pvalid,
               hw_planes[0], hw_planes[1])
@@ -320,8 +342,12 @@ def _circles_pooled(planes, cfg: DetectionConfig, hw_planes):
             stc = jax.tree_util.tree_map(lambda a: a[idx], st)
             hwc = (None if hw_planes is None
                    else (hw_planes[0][idx], hw_planes[1][idx]))
+            # dedupe_first: the big pass has no further rerun to trigger,
+            # so its peak budget must apply to UNIQUE peaks (dense scans
+            # carry ~2.5x duplicate emissions; see compact_candidates)
             c, v, _ = _circles_from_state(
-                stc, cfg, hwc, top_k=kb, prov_budget=prov, peak_budget=peak
+                stc, cfg, hwc, top_k=kb, prov_budget=prov, peak_budget=peak,
+                dedupe_first=True,
             )
             return c, v
 

@@ -459,3 +459,28 @@ def test_margin_gated_overflow_trigger():
         a, thresh, K, threshold_factor=floor_f, margin_factor=floor_f))
     _, _, _, sat = run_nomargin(plane(40, 0))
     assert bool(sat)
+
+
+def test_packed4_pool_accumulator_bit_exact():
+    """The byte-packed 4-planes-per-uint32 cascade (the pipeline's pooled
+    accumulator) must equal the per-plane cascade bit-for-bit, including
+    on pools that need dead-plane padding (P % 4 != 0)."""
+    import jax
+
+    from img2sgf_tpu.hough.circles import (
+        vote_accumulator_cascade,
+        vote_accumulator_pool,
+    )
+
+    rng = np.random.default_rng(11)
+    for P in (4, 6):  # aligned and padded pool sizes
+        emask = jnp.asarray(rng.random((P, 48, 64)) < 0.15)
+        dx = jnp.asarray(rng.integers(-255, 256, (P, 48, 64)).astype(np.int32))
+        dy = jnp.asarray(rng.integers(-255, 256, (P, 48, 64)).astype(np.int32))
+        pooled = jax.jit(
+            lambda e, a, b: vote_accumulator_pool(e, a, b, 64, 1, 30)
+        )(emask, dx, dy)
+        per_plane = jax.jit(
+            jax.vmap(lambda e, a, b: vote_accumulator_cascade(e, a, b, 64, 1, 30))
+        )(emask, dx, dy)
+        np.testing.assert_array_equal(np.asarray(pooled), np.asarray(per_plane))

@@ -110,10 +110,17 @@ def test_overflow_budget_gating():
 
     rng = np.random.default_rng(5)
     noisy = rng.integers(0, 256, (96, 96, 3)).astype(np.uint8)
+    # margin gating is disabled (margin <= threshold factor restores the
+    # pure-count trigger) so this tests the rerun MECHANISM independently
+    # of the gate — the pooled==big identity only holds when no plane sits
+    # in the truncated-but-margin-gated regime, and coupling the assertion
+    # to the noise fixture's vote distribution would make it fragile. The
+    # gate itself is tested by test_margin_gated_overflow_trigger.
     cfg = DetectionConfig(
         max_center_candidates=16, overflow_center_candidates=96,
         max_ring_candidates=16, overflow_ring_candidates=64,
         max_circles_per_variant=16, hysteresis_iters=4,
+        overflow_margin_factor=0.0,
     )
     planes = jax.jit(lambda im: planes_of(im, cfg))(noisy)
     _, _, sat = jax.jit(lambda p: _circles_on_planes(p, cfg, None))(planes)
