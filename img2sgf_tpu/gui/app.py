@@ -25,6 +25,52 @@ IMAGE_SIZE = 400
 BORDER = 20
 
 
+def canvas_fit_scale(img_w, img_h, canvas_w, canvas_h):
+    """Uniform scale that fits an image inside a canvas (reference
+    get_scale, img2sgf.py:579-585: min of the two axis ratios)."""
+    cw = max(canvas_w, 1)
+    ch = max(canvas_h, 1)
+    return min(cw / img_w, ch / img_h)
+
+
+def board_click_action(x, y, w, h, hsize, vsize):
+    """Classify a click on the board canvas (reference edit_board geometry,
+    img2sgf.py:955-1001).
+
+    Returns ("cycle", i, j) for a click on/near the grid,
+    ("align", horiz, vert) for an alignment-dot region hit on a partial
+    board (each of horiz/vert is an Alignment or None = unchanged; both
+    None means the click landed in a dead zone), mirroring the reference's
+    board_alignment update rules exactly — including the corner case that
+    requires the click to be outside BOTH the x and y band, and the
+    side-position 24px-wide centre strip (min(w,h)/2 +- 12).
+    """
+    cmin, cmax = 30, min(w, h) - 30
+    gs = (cmax - cmin) / 18
+    if cmin - gs / 2 < x < cmax + gs / 2 and cmin - gs / 2 < y < cmax + gs / 2:
+        i = round((x - cmin) / (cmax - cmin) * 18)
+        j = round((y - cmin) / (cmax - cmin) * 18)
+        return ("cycle", i, j)
+    c1, c2 = min(w, h) / 2 - 12, min(w, h) / 2 + 12
+    horiz = vert = None
+    if hsize < 19 and vsize < 19:
+        if not (cmin < x < cmax or cmin < y < cmax):
+            horiz = Alignment.LEFT if x < cmin else Alignment.RIGHT
+            vert = Alignment.TOP if y < cmin else Alignment.BOTTOM
+    elif vsize < 19 and c1 < x < c2:
+        vert = Alignment.TOP if y < cmin else Alignment.BOTTOM
+    elif hsize < 19 and c1 < y < c2:
+        horiz = Alignment.LEFT if x < cmin else Alignment.RIGHT
+    return ("align", horiz, vert)
+
+
+def hist_pixel_to_data(ax, px, py, widget_height):
+    """Map a Tk mouse position on the histogram widget to data coords
+    (reference scale_brightness, img2sgf.py:744-748): Tk y runs from the
+    top, matplotlib display coords from the bottom."""
+    return ax.transData.inverted().transform((px, widget_height - py))[0]
+
+
 def run_gui(input_path=None, output_path=None) -> int:
     import tkinter as tk
     from tkinter import filedialog, messagebox
@@ -123,9 +169,8 @@ def run_gui(input_path=None, output_path=None) -> int:
 
     # --- drawing -------------------------------------------------------
     def scale_to(img: Image.Image, canvas):
-        cw = max(canvas.winfo_width(), 1)
-        ch = max(canvas.winfo_height(), 1)
-        s = min(cw / img.size[0], ch / img.size[1])
+        s = canvas_fit_scale(img.size[0], img.size[1],
+                             canvas.winfo_width(), canvas.winfo_height())
         resized = img.resize((max(1, round(img.size[0] * s)), max(1, round(img.size[1] * s))))
         return ImageTk.PhotoImage(resized), s
 
@@ -374,7 +419,7 @@ def run_gui(input_path=None, output_path=None) -> int:
     def hist_set(ev):
         if not session.board_ready:
             return
-        x_data = hist_ax.transData.inverted().transform((ev.x, hist_widget.winfo_height() - ev.y))[0]
+        x_data = hist_pixel_to_data(hist_ax, ev.x, ev.y, hist_widget.winfo_height())
         xmin, xmax = hist_ax.get_xlim()
         if 0 <= x_data <= xmax:
             session.black_stone_threshold = int(x_data)
@@ -397,29 +442,14 @@ def run_gui(input_path=None, output_path=None) -> int:
         if not session.board_ready:
             return
         w, h = output_canvas.winfo_width(), output_canvas.winfo_height()
-        cmin, cmax = 30, min(w, h) - 30
-        gs = (cmax - cmin) / 18
-        x, y = ev.x, ev.y
-        if cmin - gs / 2 < x < cmax + gs / 2 and cmin - gs / 2 < y < cmax + gs / 2:
-            i = round((x - cmin) / (cmax - cmin) * 18)
-            j = round((y - cmin) / (cmax - cmin) * 18)
-            session.cycle_stone(i, j, right_click=(ev.num == 3))
+        act = board_click_action(
+            ev.x, ev.y, w, h,
+            int(session.result.hsize), int(session.result.vsize))
+        if act[0] == "cycle":
+            session.cycle_stone(act[1], act[2], right_click=(ev.num == 3))
             reset_button.configure(state=tk.ACTIVE)
-        else:
-            hsize = int(session.result.hsize)
-            vsize = int(session.result.vsize)
-            c1, c2 = min(w, h) / 2 - 12, min(w, h) / 2 + 12
-            horiz = vert = None
-            if hsize < 19 and vsize < 19:
-                if not (cmin < x < cmax or cmin < y < cmax):
-                    horiz = Alignment.LEFT if x < cmin else Alignment.RIGHT
-                    vert = Alignment.TOP if y < cmin else Alignment.BOTTOM
-            elif vsize < 19 and c1 < x < c2:
-                vert = Alignment.TOP if y < cmin else Alignment.BOTTOM
-            elif hsize < 19 and c1 < y < c2:
-                horiz = Alignment.LEFT if x < cmin else Alignment.RIGHT
-            if session.set_alignment(horiz, vert):
-                reset_button.configure(state=tk.DISABLED)
+        elif session.set_alignment(act[1], act[2]):
+            reset_button.configure(state=tk.DISABLED)
         draw_board()
 
     output_canvas.bind("<ButtonRelease-1>", edit_board)
@@ -525,6 +555,15 @@ def run_gui(input_path=None, output_path=None) -> int:
             log(f"{label} version {get()}")
         except Exception:
             log(f"Can't find {label} version")
+
+    # widget handles for event-driven tests (tests/test_gui_events.py
+    # drives these with event_generate when a display exists)
+    main.testing_handles = dict(
+        session=session, input_canvas=input_canvas,
+        output_canvas=output_canvas, hist_widget=hist_widget,
+        hist_ax=hist_ax, reset_button=reset_button,
+        save_button=save_button, threshold=threshold, settings=settings,
+    )
 
     if input_path:
         main.after(100, lambda: open_file(input_path))

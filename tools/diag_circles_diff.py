@@ -103,7 +103,14 @@ def blame(st_v, cx, cy, tol, acc_thresh):
 
 
 def main(names):
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    if "--cpu" in names:
+        # sitecustomize pre-imports jax with JAX_PLATFORMS=axon, so the env
+        # var alone is ignored; backend init is lazy so config still works.
+        names.remove("--cpu")
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
     cfg = DetectionConfig()
     for n in list(names):
         if n.startswith("--cells="):
