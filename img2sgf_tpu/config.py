@@ -74,22 +74,38 @@ class DetectionConfig:
     max_lines: int = 512                # max Hough line intercepts per direction
     max_grid_lines: int = 64            # max cluster centres per axis
     num_angle_bins: int = 64            # gradient-direction bins for circle voting
-    max_center_candidates: int = 1024    # accumulator peaks considered per variant
-    max_ring_candidates: int = 512      # provisional +-2 ring cells verified
+    max_center_candidates: int = 2048    # accumulator peaks considered per
+    #                                     variant (base pass). Selection work
+    #                                     is proportional to the LIVE count,
+    #                                     not the budget (exact_rescore's
+    #                                     chunked map skips dead chunks), so
+    #                                     headroom is cheap; 2048 keeps the
+    #                                     512^2 bench batch out of the
+    #                                     overflow rerun entirely (measured
+    #                                     r4: worst plane n_margin=1745) and
+    #                                     carries ex4 v9's rank-1027
+    #                                     sub-margin proposal in base.
+    max_ring_candidates: int = 1024     # provisional +-2 ring cells verified
     #                                     per variant (hough.circles
     #                                     .provisional_ring budget)
-    overflow_center_candidates: int = 6144  # big-budget rerun capacity when a
-    #                                     plane SATURATES the base candidate
-    #                                     budget (every slot valid => real
-    #                                     maxima may have been truncated).
-    #                                     Dense scans need ~5.3k slots for
-    #                                     cv2-parity (measured worst: ex5);
+    overflow_center_candidates: int = 16384  # big-budget rerun capacity when
+    #                                     a plane SATURATES the base candidate
+    #                                     budget (real maxima may have been
+    #                                     truncated). ex5's junk-dense planes
+    #                                     saturate even 6144 (measured r4:
+    #                                     cv2-needed carriers at vote-order
+    #                                     rank 4398+) and the truncation cost
+    #                                     4 of the 6 round-3 circle deltas;
     #                                     sparse images never saturate, so a
     #                                     lax.cond pays for the big pass only
     #                                     when needed (pipeline.detect
     #                                     ._circles_pooled). <= base disables.
-    overflow_ring_candidates: int = 3072  # ring budget inside the big pass
-    max_peak_candidates: int = 1024     # unique exact-NMS peaks kept per
+    overflow_ring_candidates: int = 8192  # ring budget inside the big pass.
+    #                                     Ring cells pass an exact >param2
+    #                                     vote test, so the stream is real
+    #                                     peaks; 3072 truncated cv2-accepted
+    #                                     cells on ex5/ex12 (r4 root-cause)
+    max_peak_candidates: int = 2048     # unique exact-NMS peaks kept per
     #                                     variant after dedupe+compaction
     #                                     (hough.circles.compact_candidates).
     #                                     Sizes the radius/finalize stages;
@@ -98,7 +114,9 @@ class DetectionConfig:
     #                                     Measured worst base-pass unique
     #                                     peak count: 426 (bench dense
     #                                     synthetics); real scans run lower.
-    overflow_peak_candidates: int = 6144  # peak budget inside the big pass
+    overflow_peak_candidates: int = 8192  # peak budget inside the big pass
+    #                                     (unique peaks; measured worst on
+    #                                     ex5 ~2.6k — headroom is cheap)
     propose_threshold_factor: float = 0.6  # proposal floor as a fraction of
     #                                     circle_acc_threshold. The cascade
     #                                     accumulator under-votes true peaks
@@ -191,11 +209,13 @@ class DetectionConfig:
         4-plane maxblur=1 preset losing real fixtures and rejected it).
 
         The reference runs HoughCircles on blurs up to k=7 (img2sgf.py:
-        169-175) purely for recall on degraded scans; on the fixture suite
-        the k>=5 blurs contribute almost no unique accepted circles.
-        Accuracy on the 18 reference fixtures vs the committed goldens is
-        measured by `tools/parity_report.py --fast` and recorded in
-        docs/PARITY.md — run it after any detection change.
+        169-175) purely for recall on degraded scans. Measured contract
+        (2026-08-20, real TPU, docs/PARITY.md): bit-exact boards on every
+        clean printed fixture, but NOT a parity mode — 16/18 detect
+        agreement (ex17 lost, ex11 spurious) and small stone deltas on the
+        dense scans (ex5 0.992, ex12 0.983). Use the default config for
+        hard book scans; re-run `tools/parity_report.py --fast` after any
+        detection change.
         """
         return cls(maxblur=2, **kw)
 

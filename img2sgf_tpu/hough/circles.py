@@ -346,6 +346,26 @@ def vote_accumulator(edge_mask, dx, dy, num_bins: int, min_r: int, max_r: int,
     return acc
 
 
+_TOPK_SORT_CUTOVER = 4096
+
+
+def top_k_desc(score, k: int):
+    """lax.top_k semantics (descending values, ties to the smaller index)
+    with a compile-friendly path for big k.
+
+    XLA:TPU's TopK lowering scales badly with k (the k=16384 overflow
+    budgets pushed one bucket program's cold compile past 30 minutes,
+    round-4 measurement); a full stable argsort + slice compiles in
+    seconds and its runtime is k-independent, which is fine on the
+    overflow path where k is a capacity bound, not a hot-loop size. Small
+    k (the base-budget path) keeps the measured-faster lax.top_k.
+    """
+    if k <= _TOPK_SORT_CUTOVER:
+        return jax.lax.top_k(score, k)
+    order = jnp.argsort(-score, stable=True)[:k]
+    return score[order], order
+
+
 def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
                       block: int = 1, with_count: bool = False,
                       margin: float | None = None):
@@ -398,7 +418,7 @@ def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
         tiles = s.reshape(Hb, b, Wb, b).transpose(0, 2, 1, 3).reshape(-1, b * b)
         bmax = jnp.max(tiles, axis=1)
         barg = jnp.argmax(tiles, axis=1)  # first max = scan order in tile
-        votes, bidx = jax.lax.top_k(bmax, top_k)
+        votes, bidx = top_k_desc(bmax, top_k)
         cell = jnp.take(barg, bidx)
         ys = (bidx // Wb) * b + cell // b
         xs = (bidx % Wb) * b + cell % b
@@ -423,11 +443,11 @@ def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
         # direct path below.
         pairs = score.reshape(-1, 2)
         pmax = jnp.max(pairs, axis=1)
-        votes, pidx = jax.lax.top_k(pmax, top_k)
+        votes, pidx = top_k_desc(pmax, top_k)
         left = jnp.take(score, 2 * pidx)
         flat = 2 * pidx + jnp.where(left == votes, 0, 1)
     else:
-        votes, flat = jax.lax.top_k(score, top_k)
+        votes, flat = top_k_desc(score, top_k)
     valid = votes > 0
     out = (flat // W, flat % W, votes, valid)
     return out + counts if with_count else out
@@ -773,7 +793,7 @@ def cascade_pool_eligible(num_bins: int, min_r: int, max_r: int) -> bool:
 
 def circle_plane_state(img_u8, canny_high: float, min_r: int, max_r: int,
                        num_bins: int, hysteresis_iters: int = 24, hw=None,
-                       with_acc: bool = True):
+                       with_acc: bool = True, edges=None):
     """Stage 1a — the budget-INDEPENDENT per-plane work: internal Canny,
     gradient walk steps, and the approximate vote accumulator.
 
@@ -787,6 +807,10 @@ def circle_plane_state(img_u8, canny_high: float, min_r: int, max_r: int,
     (pipeline._plane_state_pool computes the acc for 4 planes per uint32
     element there; the per-plane accumulator here is the fallback and
     the single-image path).
+
+    edges: precomputed internal-Canny edge map for this plane (the batch
+    path computes it for the whole plane pool at once via canny_pool's
+    shared bit-packed hysteresis); None = compute per-plane here.
     """
     if hw is not None:
         from ..ops.common import border_remap
@@ -795,8 +819,9 @@ def circle_plane_state(img_u8, canny_high: float, min_r: int, max_r: int,
     else:
         img_r = img_u8
     dx, dy = sobel3(img_r.astype(jnp.int32))
-    edges = canny(img_u8, max(canny_high / 2, 1), canny_high,
-                  iters=hysteresis_iters, hw=hw)
+    if edges is None:
+        edges = canny(img_u8, max(canny_high / 2, 1), canny_high,
+                      iters=hysteresis_iters, hw=hw)
     emask = (edges > 0) & ((dx != 0) | (dy != 0))
     sx, sy = pixel_steps(dx, dy)
     out = dict(
@@ -1031,7 +1056,7 @@ def provisional_ring(patch, ys, xs, valid, acc_threshold: float, H: int,
     interior = (cy >= 1) & (cy <= h - 2) & (cx >= 1) & (cx <= w - 2)
     ok = valid[:, None] & ok & interior
     score = jnp.where(ok, v, -1.0).reshape(-1)
-    top, idx = jax.lax.top_k(score, budget)
+    top, idx = top_k_desc(score, budget)
     ys_p = jnp.clip(cy.reshape(-1)[idx], 0, H - 1)
     xs_p = jnp.clip(cx.reshape(-1)[idx], 0, W - 1)
     return ys_p, xs_p, top > 0.0, jnp.sum(ok, dtype=jnp.int32)
@@ -1151,7 +1176,7 @@ def compact_candidates(ys, xs, votes, valid, W: int, budget: int,
         # copies first and THEN truncating by descending votes keeps the
         # strongest `budget` unique peaks
         score = jnp.where(live, votes[order], -jnp.inf)
-        top, sel2 = jax.lax.top_k(score, min(budget, score.shape[0]))
+        top, sel2 = top_k_desc(score, min(budget, score.shape[0]))
         sel = order[sel2]
         return ys[sel], xs[sel], votes[sel], top != -jnp.inf, sat
     # conservative saturation: counted on the full stream INCLUDING
@@ -1159,7 +1184,7 @@ def compact_candidates(ys, xs, votes, valid, W: int, budget: int,
     # never miss one)
     sat = jnp.sum(valid) > budget
     score = jnp.where(valid, votes, -jnp.inf)  # dead rows sort last
-    top, sel = jax.lax.top_k(score, min(budget, score.shape[0]))
+    top, sel = top_k_desc(score, min(budget, score.shape[0]))
     ys, xs, votes, valid = ys[sel], xs[sel], votes[sel], valid[sel]
     if not dedupe:
         return ys, xs, votes, valid, sat
