@@ -43,10 +43,13 @@ def make_batch(batch: int, size: int = 512) -> np.ndarray:
     return np.repeat(imgs[:, :, :, None], 3, axis=3)
 
 
-def bench_real_scans(cfg, sync):
+def bench_real_scans(cfg, sync, bucket: int = 768):
     """Honest content-dependent throughput: the reference fixtures that
-    share the 768x768 canvas bucket (book scans incl. the dense ex5), run
-    at native size through the bucketed serving path. Returns (metric dict
+    share one canvas bucket, run at native size through the bucketed
+    serving path. bucket=768 covers the book scans incl. the dense ex5;
+    bucket=1280 covers the large-scan class (ex15-17, ~1.35 MPix — the
+    images that exceed the per-plane Pallas-hysteresis VMEM cutoff and so
+    exercise the pooled bit-packed hysteresis path). Returns (metric dict
     or None)."""
     import pathlib
     import jax.numpy as jnp
@@ -65,13 +68,13 @@ def bench_real_scans(cfg, sync):
     for f in sorted(fdir.glob("*.jpg")):
         rgb = load_rgb(str(f))
         h, w = rgb.shape[:2]
-        if bucket_dim(h) == 768 and bucket_dim(w) == 768:
+        if bucket_dim(h) == bucket and bucket_dim(w) == bucket:
             imgs.append(rgb)
             names.append(f.stem)
     if not imgs:
         return None
     B = len(imgs)
-    canv = np.zeros((B, 768, 768, 3), np.uint8)
+    canv = np.zeros((B, bucket, bucket, 3), np.uint8)
     hs = np.zeros(B, np.int32)
     ws = np.zeros(B, np.int32)
     thr = np.zeros(B, np.float32)
@@ -112,7 +115,7 @@ def bench_real_scans(cfg, sync):
             parity[name] = "agree_not_ready"
 
     return {
-        "metric": f"native-size reference scans/sec/chip ({B} fixtures, 768 bucket)",
+        "metric": f"native-size reference scans/sec/chip ({B} fixtures, {bucket} bucket)",
         "value": round(B / dt, 2),
         "unit": "images/sec",
         "vs_baseline": round(B / dt / BASELINE_DIAGRAMS_PER_SEC, 2),
@@ -150,11 +153,16 @@ def main():
     ready = int(np.asarray(res.board_ready).sum())
     assert ready >= batch * 0.9, f"detection collapsed: {ready}/{batch} boards"
 
-    # secondary, content-honest metric first (real book scans at native
-    # size — slower than the synthetic number; VERDICT r1 weak #7)
-    real = bench_real_scans(cfg, lambda r: np.asarray(r.board_ready))
+    # secondary, content-honest metrics first (real book scans at native
+    # size — slower than the synthetic number; VERDICT r1 weak #7). The
+    # 1280 bucket is the large-scan class (VERDICT r3 #5).
+    sync = lambda r: np.asarray(r.board_ready)
+    real = bench_real_scans(cfg, sync)
     if real is not None:
         print(json.dumps(real))
+    big = bench_real_scans(cfg, sync, bucket=1280)
+    if big is not None:
+        print(json.dumps(big))
 
     # the driver parses the LAST line: keep the headline metric there
     print(
@@ -165,7 +173,9 @@ def main():
                 "unit": "images/sec",
                 "vs_baseline": round(throughput / BASELINE_DIAGRAMS_PER_SEC, 2),
                 "real_scan_img_s": None if real is None else real["value"],
+                "large_scan_img_s": None if big is None else big["value"],
                 "parity": None if real is None else real["parity"],
+                "parity_1280": None if big is None else big["parity"],
             }
         )
     )

@@ -122,17 +122,126 @@ def hysteresis(strong, cand, iters: int):
     return edge.astype(jnp.bool_)
 
 
-def canny(img_u8, low: float, high: float, l2gradient: bool = False,
-          iters: int = 256, hw=None):
-    """cv.Canny parity on a [H, W] or [H, W, C] uint8 image. Returns uint8
-    {0, 255} edge map.
+def _seg_fill_axis_packed(act, gate, axis):
+    """Bit-parallel segmented OR-fill: `act`/`gate` are uint32 planes whose
+    32 bits carry 32 independent images (see hysteresis_pool). Identical
+    propagation semantics to _seg_fill_axis, evaluated for all 32 bit-lanes
+    at once by plain bitwise ops."""
 
-    hw=(h, w): content dims inside a fixed canvas (shape-bucketed mode).
-    The canvas border band is rewritten with replicate semantics so Sobel
-    matches native-size results inside the content block, and magnitudes
-    outside it are zeroed (OpenCV's zero border) before NMS/hysteresis, so
-    no edges exist or propagate outside the content block.
+    def combine(l, r):
+        la, lg = l
+        ra, rg = r
+        return ra | (rg & la), lg & rg
+
+    axis = axis % act.ndim
+    fwd, _ = jax.lax.associative_scan(combine, (act, gate), axis=axis)
+    bwd, _ = jax.lax.associative_scan(combine, (act, gate), axis=axis,
+                                      reverse=True)
+    return fwd | bwd
+
+
+def _dilate8_or(x):
+    """Bitwise 8-neighbourhood dilation on packed uint32 planes."""
+    out = x
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out = out | shift2d(x, dy, dx)
+    return out
+
+
+def hysteresis_pool(strong, cand, iters: int):
+    """hysteresis() over a POOL of [P, H, W] planes, 32 planes per uint32.
+
+    The sweep's primitives (segmented OR-scan, 3x3 dilation, masking) are
+    all boolean, so packing 32 planes into the 32 bits of one uint32 plane
+    runs them bit-parallel: each scan/shift moves and combines 32 planes
+    per vector op. This replaces P per-plane kernel launches with one
+    fixed-point loop over ceil(P/32) packed planes, and has no VMEM size
+    cutoff (unlike hysteresis_pallas) — it is the batch path for every
+    canvas bucket, 512 through 1280. Convergence is the max over the pool
+    (the while_loop early-exits when NO plane changes); fixtures converge
+    in 2-5 sweeps.
+
+    strong, cand: [P, H, W] bool. Returns [P, H, W] bool.
     """
+    P, H, W = strong.shape
+    G = -(-P // 32)
+    padn = G * 32 - P
+
+    def pack(x):
+        if padn:
+            x = jnp.concatenate(
+                [x, jnp.zeros((padn, H, W), jnp.bool_)], axis=0)
+        xs = x.reshape(G, 32, H, W).astype(jnp.uint32)
+        out = jnp.zeros((G, H, W), jnp.uint32)
+        for b in range(32):
+            out = out | (xs[:, b] << jnp.uint32(b))
+        return out
+
+    gate = pack(cand)
+    edge0 = pack(strong & cand)
+
+    def cond(state):
+        i, _, changed = state
+        return (i < iters) & changed
+
+    def body(state):
+        i, edge, _ = state
+        new = _seg_fill_axis_packed(edge, gate, axis=-1)
+        new = _seg_fill_axis_packed(new, gate, axis=-2)
+        new = (_dilate8_or(new) & gate) | new
+        changed = jnp.any(new != edge)
+        return i + 1, new, changed
+
+    _, edge, _ = jax.lax.while_loop(cond, body, (0, edge0, jnp.bool_(True)))
+    bits = jnp.arange(32, dtype=jnp.uint32)
+    un = (edge[:, None] >> bits[None, :, None, None]) & jnp.uint32(1)
+    return un.reshape(G * 32, H, W)[:P].astype(jnp.bool_)
+
+
+def canny_pool(planes_u8, low: float, high: float, iters: int = 256,
+               hw_planes=None):
+    """cv.Canny over a POOL of [P, H, W] single-channel planes, sharing one
+    bit-packed hysteresis fixed-point loop (hysteresis_pool) instead of P
+    per-plane sweeps. Bit-identical to canny() per plane (pinned test).
+
+    This is the HoughCircles-internal Canny for the batched pipeline
+    (thresholds (param1/2, param1), L1 gradient, img2sgf.py:180 semantics
+    via cv2's HoughCircles). hw_planes: (hs, ws) per-plane content dims
+    inside a fixed canvas. Returns [P, H, W] uint8 {0, 255}.
+    """
+
+    def pre(img_u8, hw):
+        if hw is not None:
+            from .common import border_remap, region_mask
+
+            img_u8 = border_remap(img_u8, hw[0], hw[1], "replicate")
+        img = img_u8.astype(jnp.int32)
+        dx, dy = sobel3(img)
+        mag = jnp.abs(dx) + jnp.abs(dy)
+        if hw is not None:
+            from .common import region_mask
+
+            mag = mag * region_mask(mag.shape, hw[0], hw[1], jnp.int32)
+        cand = _nms(mag, dx, dy, int(low))
+        strong = cand & (mag > int(high))
+        return strong, cand
+
+    if hw_planes is None:
+        strong, cand = jax.vmap(lambda p: pre(p, None))(planes_u8)
+    else:
+        strong, cand = jax.vmap(
+            lambda p, h, w: pre(p, (h, w)))(planes_u8, *hw_planes)
+    edges = hysteresis_pool(strong, cand, iters)
+    return edges.astype(jnp.uint8) * jnp.uint8(255)
+
+
+def _canny_pre(img_u8, low: float, high: float, l2gradient: bool, hw):
+    """Everything before hysteresis: Sobel (per-channel max on colour),
+    NMS, thresholds. Returns (strong, cand) bool planes. Shared by canny()
+    and the batched canny_rgb_pool()."""
     if hw is not None:
         from .common import border_remap, region_mask
 
@@ -177,5 +286,42 @@ def canny(img_u8, low: float, high: float, l2gradient: bool = False,
 
     cand = _nms(mag, dx, dy, low_t)
     strong = cand & (mag > high_t)
+    return strong, cand
+
+
+def canny(img_u8, low: float, high: float, l2gradient: bool = False,
+          iters: int = 256, hw=None):
+    """cv.Canny parity on a [H, W] or [H, W, C] uint8 image. Returns uint8
+    {0, 255} edge map.
+
+    hw=(h, w): content dims inside a fixed canvas (shape-bucketed mode).
+    The canvas border band is rewritten with replicate semantics so Sobel
+    matches native-size results inside the content block, and magnitudes
+    outside it are zeroed (OpenCV's zero border) before NMS/hysteresis, so
+    no edges exist or propagate outside the content block.
+    """
+    strong, cand = _canny_pre(img_u8, low, high, l2gradient, hw)
     edges = hysteresis(strong, cand, iters)
     return (edges.astype(jnp.uint8)) * jnp.uint8(255)
+
+
+def canny_rgb_pool(imgs_u8, low: float, high: float,
+                   l2gradient: bool = False, iters: int = 256,
+                   hw_batch=None):
+    """cv.Canny over a BATCH of [B, H, W, 3] images, sharing one
+    bit-packed hysteresis fixed-point loop (hysteresis_pool). This is the
+    batched pipeline's outer Canny (img2sgf.py:162-165 semantics):
+    per-image gradient/NMS work is vmapped, the iterative hysteresis runs
+    once for the whole batch. Bit-identical to canny() per image.
+
+    hw_batch: (hs, ws) per-image content dims. Returns [B, H, W] uint8.
+    """
+    if hw_batch is None:
+        strong, cand = jax.vmap(
+            lambda im: _canny_pre(im, low, high, l2gradient, None))(imgs_u8)
+    else:
+        strong, cand = jax.vmap(
+            lambda im, h, w: _canny_pre(im, low, high, l2gradient, (h, w))
+        )(imgs_u8, *hw_batch)
+    edges = hysteresis_pool(strong, cand, iters)
+    return edges.astype(jnp.uint8) * jnp.uint8(255)

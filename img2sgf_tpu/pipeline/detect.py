@@ -114,14 +114,25 @@ def _variant_dedup(cfg: DetectionConfig, V: int):
     return keep, expand
 
 
-def _pre_circles(rgb_u8, cfg: DetectionConfig, hw):
-    """Preprocess through the blur pyramid (img2sgf.py:142-175)."""
+def _pre_rgb(rgb_u8, cfg: DetectionConfig, hw):
+    """Preprocess + grey (img2sgf.py:142-153)."""
     with jax.named_scope("preprocess"):
         rgb = preprocess(rgb_u8, cfg.contrast, cfg.brightness, hw=hw)
-        grey = grey_bgr_quirk(rgb)
-    with jax.named_scope("canny"):
-        edges = canny(rgb, cfg.edge_min, cfg.edge_max, cfg.gradient_l2,
-                      iters=cfg.hysteresis_iters, hw=hw)
+        return rgb, grey_bgr_quirk(rgb)
+
+
+def _pre_circles(rgb_u8, cfg: DetectionConfig, hw, edges=None):
+    """Preprocess through the blur pyramid (img2sgf.py:142-175).
+
+    edges: precomputed outer Canny for the preprocessed image (the batch
+    path computes it for the whole batch at once via canny_rgb_pool's
+    shared bit-packed hysteresis); None = compute per-image here.
+    """
+    rgb, grey = _pre_rgb(rgb_u8, cfg, hw)
+    if edges is None:
+        with jax.named_scope("canny"):
+            edges = canny(rgb, cfg.edge_min, cfg.edge_max, cfg.gradient_l2,
+                          iters=cfg.hysteresis_iters, hw=hw)
     with jax.named_scope("blur_pyramid"):
         variants = blur_pyramid(grey, edges, cfg.maxblur, hw=hw)
     return grey, edges, variants
@@ -144,9 +155,14 @@ def _plane_state_pool(planes, cfg: DetectionConfig, hw_planes):
     pooled cascade's bounds hold (the defaults): 4 planes share each
     uint32 element, ~4x fewer vector issues at identical HBM bytes
     (hough.circles.vote_accumulator_packed4; 43.9 -> 11.9 ms per 64
-    planes at 512^2 on v5e, bit-exact).
+    planes at 512^2 on v5e, bit-exact). The internal Canny's hysteresis
+    also runs OUTSIDE the map: one shared bit-packed fixed-point loop over
+    all P planes (ops.canny.canny_pool, 32 planes per uint32) replaces P
+    per-plane sweeps — and has no VMEM cutoff, so every canvas bucket
+    (512 through 1280) takes the same path.
     """
     from ..hough.circles import cascade_pool_eligible, vote_accumulator_pool_labels
+    from ..ops.canny import canny_pool
 
     P = planes.shape[0]
     CP = 16 if P % 16 == 0 else (8 if P % 8 == 0 else P)
@@ -154,25 +170,36 @@ def _plane_state_pool(planes, cfg: DetectionConfig, hw_planes):
         cfg.num_angle_bins, cfg.circle_min_radius, cfg.circle_max_radius
     )
 
-    def state(img, hw):
+    with jax.named_scope("canny_pool"):
+        edges_pool = canny_pool(
+            planes, max(cfg.circle_canny_high / 2, 1), cfg.circle_canny_high,
+            iters=cfg.hysteresis_iters, hw_planes=hw_planes,
+        )
+
+    def state(img, edges, hw):
         return circle_plane_state(
             img, cfg.circle_canny_high, cfg.circle_min_radius,
             cfg.circle_max_radius, cfg.num_angle_bins,
             hysteresis_iters=cfg.hysteresis_iters, hw=hw,
-            with_acc=not pooled_acc,
+            with_acc=not pooled_acc, edges=edges,
         )
 
     with jax.named_scope("circle_plane_state"):
         if hw_planes is None:
             st = jax.lax.map(
-                jax.vmap(lambda im: state(im, None)),
-                planes.reshape(P // CP, CP, *planes.shape[1:]),
+                lambda t: jax.vmap(lambda im, e: state(im, e, None))(*t),
+                (
+                    planes.reshape(P // CP, CP, *planes.shape[1:]),
+                    edges_pool.reshape(P // CP, CP, *planes.shape[1:]),
+                ),
             )
         else:
             st = jax.lax.map(
-                lambda t: jax.vmap(state)(t[0], (t[1], t[2])),
+                lambda t: jax.vmap(
+                    lambda im, e, h, w: state(im, e, (h, w)))(*t),
                 (
                     planes.reshape(P // CP, CP, *planes.shape[1:]),
+                    edges_pool.reshape(P // CP, CP, *planes.shape[1:]),
                     hw_planes[0].reshape(P // CP, CP),
                     hw_planes[1].reshape(P // CP, CP),
                 ),
@@ -540,15 +567,28 @@ def _detect_batch_impl(rgb_u8_batch, cfg: DetectionConfig, line_thresholds,
     """Batched pipeline: pre/post stages vmapped per image, circle stages
     pooled over the flat [B x unique-variant] plane axis so the radius
     stage's skip-dead-chunks branch runs for real (outside vmap)."""
+    from ..ops.canny import canny_rgb_pool
+
     B = rgb_u8_batch.shape[0]
+    # outer Canny pooled over the batch: one bit-packed hysteresis loop for
+    # all B images (XLA CSEs the duplicated elementwise preprocess)
     if hs is None:
+        rgbp = jax.vmap(lambda im: _pre_rgb(im, cfg, None)[0])(rgb_u8_batch)
+        edges_b = canny_rgb_pool(rgbp, cfg.edge_min, cfg.edge_max,
+                                 cfg.gradient_l2, iters=cfg.hysteresis_iters)
         grey, edges, variants = jax.vmap(
-            lambda im: _pre_circles(im, cfg, None)
-        )(rgb_u8_batch)
+            lambda im, e: _pre_circles(im, cfg, None, edges=e)
+        )(rgb_u8_batch, edges_b)
     else:
-        grey, edges, variants = jax.vmap(
-            lambda im, h, w: _pre_circles(im, cfg, (h, w))
+        rgbp = jax.vmap(
+            lambda im, h, w: _pre_rgb(im, cfg, (h, w))[0]
         )(rgb_u8_batch, hs, ws)
+        edges_b = canny_rgb_pool(rgbp, cfg.edge_min, cfg.edge_max,
+                                 cfg.gradient_l2, iters=cfg.hysteresis_iters,
+                                 hw_batch=(hs, ws))
+        grey, edges, variants = jax.vmap(
+            lambda im, e, h, w: _pre_circles(im, cfg, (h, w), edges=e)
+        )(rgb_u8_batch, edges_b, hs, ws)
     keep, expand = _variant_dedup(cfg, variants.shape[1])
     Vu = len(keep)
     planes = variants[:, jnp.asarray(keep)]

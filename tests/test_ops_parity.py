@@ -92,6 +92,63 @@ def test_canny_grey_parity(ex7_rgb):
     assert (want != got).sum() == 0
 
 
+def test_canny_pool_matches_per_plane(ex1_rgb, ex7_rgb):
+    """canny_pool (shared bit-packed hysteresis, 32 planes per uint32) must
+    be bit-identical to per-plane canny() — it is the batch pipeline's
+    internal-Canny path (pipeline._plane_state_pool)."""
+    from img2sgf_tpu.ops.canny import canny_pool
+
+    g1 = cv.cvtColor(_pil_preprocess(ex1_rgb), cv.COLOR_BGR2GRAY)
+    g2 = cv.cvtColor(_pil_preprocess(ex7_rgb), cv.COLOR_BGR2GRAY)[:384, :384]
+    g2 = np.pad(g2, ((0, 384 - g2.shape[0]), (0, 384 - g2.shape[1])))
+    planes = [g1, 255 - g1, cv.medianBlur(g1, 5), cv.GaussianBlur(g1, (7, 7), 7),
+              g2]
+    pool = jnp.asarray(np.stack(planes))
+    got = np.asarray(canny_pool(pool, 50, 100, iters=256))
+    for p in range(pool.shape[0]):
+        want = np.asarray(canny(pool[p], 50, 100, iters=256))
+        assert (want != got[p]).sum() == 0, f"plane {p} differs"
+
+
+def test_canny_rgb_pool_matches_per_image(ex1_rgb, ex7_rgb):
+    """canny_rgb_pool (batched outer Canny, shared bit-packed hysteresis)
+    must be bit-identical to per-image canny() on 3-channel input."""
+    from img2sgf_tpu.ops.canny import canny_rgb_pool
+
+    a = _pil_preprocess(ex1_rgb)
+    b = np.zeros_like(a)
+    p7 = _pil_preprocess(ex7_rgb)
+    b[: min(a.shape[0], p7.shape[0]), : min(a.shape[1], p7.shape[1])] = (
+        p7[: a.shape[0], : a.shape[1]])
+    batch = jnp.asarray(np.stack([a, b]))
+    got = np.asarray(canny_rgb_pool(batch, 50, 200))
+    for i in range(2):
+        want = np.asarray(canny(batch[i], 50, 200))
+        assert (want != got[i]).sum() == 0, f"image {i} differs"
+
+
+def test_canny_pool_bucketed_matches_native():
+    """canny_pool with per-plane hw content dims must equal native-size
+    canny inside the content block and stay zero outside it."""
+    from img2sgf_tpu.ops.canny import canny_pool
+
+    rng = np.random.default_rng(7)
+    canvas = np.zeros((2, 256, 256), np.uint8)
+    dims = [(200, 180), (256, 131)]
+    native = []
+    for p, (h, w) in enumerate(dims):
+        img = rng.integers(0, 256, (h, w), np.uint8)
+        canvas[p, :h, :w] = img
+        native.append(np.asarray(canny(jnp.asarray(img), 50, 100, iters=256)))
+    hs = jnp.asarray([d[0] for d in dims], jnp.int32)
+    ws = jnp.asarray([d[1] for d in dims], jnp.int32)
+    got = np.asarray(canny_pool(jnp.asarray(canvas), 50, 100, iters=256,
+                                hw_planes=(hs, ws)))
+    for p, (h, w) in enumerate(dims):
+        assert (got[p, :h, :w] != native[p]).sum() == 0
+        assert got[p, h:, :].sum() == 0 and got[p, :, w:].sum() == 0
+
+
 def test_canny_hysteresis_bound_covers_ex17():
     """ex17 (1193x1135, the largest fixture) needs >24 hysteresis sweeps to
     converge — the old 24-sweep default left 152 wrong edge pixels and a
