@@ -40,8 +40,6 @@ def make_sharded_detector(mesh: Mesh, cfg: DetectionConfig, axis: str = "data"):
     size. Per-image work is embarrassingly parallel: XLA partitions the
     vmapped program with zero cross-chip collectives.
     """
-    from jax.experimental.shard_map import shard_map
-
     spec = P(axis)
 
     # shard_map (not plain GSPMD partitioning) so each chip runs the
@@ -51,9 +49,9 @@ def make_sharded_detector(mesh: Mesh, cfg: DetectionConfig, axis: str = "data"):
     def local(images, thresholds):
         return detect_board_batch(images, cfg, thresholds)
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
