@@ -105,7 +105,7 @@ class DetectionConfig:
     #                                     vote test, so the stream is real
     #                                     peaks; 3072 truncated cv2-accepted
     #                                     cells on ex5/ex12 (r4 root-cause)
-    max_peak_candidates: int = 2048     # unique exact-NMS peaks kept per
+    max_peak_candidates: int = 1024     # unique exact-NMS peaks kept per
     #                                     variant after dedupe+compaction
     #                                     (hough.circles.compact_candidates).
     #                                     Sizes the radius/finalize stages;

@@ -366,6 +366,51 @@ def top_k_desc(score, k: int):
     return score[order], order
 
 
+def top_k_set_by_count(score, k: int, iters: int = 16):
+    """The SET that lax.top_k(score, k) keeps — scores above a cutoff,
+    ties resolved toward smaller index — selected by integer counting
+    instead of a sort, and returned in STREAM order with a live prefix.
+
+    Requirements: live scores are positive integers (exact in f32), dead
+    rows are exactly -1, and no caller depends on the vote-descending
+    ROW ORDER top_k produces — the selection pipeline doesn't
+    (circle_finalize re-sorts with a total-order key; every intermediate
+    stage is per-row or set-based), it only needs the valid-prefix
+    property, which stream compaction provides.
+
+    Cost: a ~iters-step integer binary search for the cutoff v* (one [N]
+    count-reduce per step; iters=16 covers vote values < 2^16), one
+    cumsum for the tie ranks, and a _stream_select. Measured 53 -> ~8 ms
+    per 256 x [65536] planes at k=2048 on v5e vs lax.top_k, and unlike
+    TopK/argsort its compile time and runtime are k-independent (the
+    k=16384 overflow selection rides the same passes).
+
+    Returns (votes [k], idx [k], valid [k]): valid is a prefix; rows
+    beyond it are clipped fill, votes gathered as-is.
+    """
+    n_above_k = jnp.sum(score > 0) <= k  # cheap common case: nothing cut
+    hi0 = jnp.maximum(jnp.max(score), 0.0).astype(jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        # invariant: count(> lo) > k, count(> hi) <= k; converge on the
+        # smallest v with count(> v) <= k
+        mid = (lo + hi) // 2
+        over = jnp.sum(score > mid.astype(score.dtype)) > k
+        return jnp.where(over, mid, lo), jnp.where(over, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(
+        0, iters, body, (jnp.int32(-1), hi0 + 1))
+    vstar = jnp.where(n_above_k, jnp.int32(-1), hi).astype(score.dtype)
+    above = score > vstar
+    ties = (score == vstar) & (score > 0)
+    n_above = jnp.sum(above, dtype=jnp.int32)
+    tie_rank = jnp.cumsum(ties.astype(jnp.int32)) - 1
+    sel = above | (ties & (tie_rank < k - n_above))
+    idx, ok = _stream_select(sel, k)
+    return score[idx], idx, ok
+
+
 def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
                       block: int = 1, with_count: bool = False,
                       margin: float | None = None):
@@ -443,12 +488,12 @@ def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
         # direct path below.
         pairs = score.reshape(-1, 2)
         pmax = jnp.max(pairs, axis=1)
-        votes, pidx = top_k_desc(pmax, top_k)
+        votes, pidx, ok = top_k_set_by_count(pmax, top_k)
         left = jnp.take(score, 2 * pidx)
         flat = 2 * pidx + jnp.where(left == votes, 0, 1)
     else:
-        votes, flat = top_k_desc(score, top_k)
-    valid = votes > 0
+        votes, flat, ok = top_k_set_by_count(score, top_k)
+    valid = ok & (votes > 0)
     out = (flat // W, flat % W, votes, valid)
     return out + counts if with_count else out
 
@@ -1056,10 +1101,10 @@ def provisional_ring(patch, ys, xs, valid, acc_threshold: float, H: int,
     interior = (cy >= 1) & (cy <= h - 2) & (cx >= 1) & (cx <= w - 2)
     ok = valid[:, None] & ok & interior
     score = jnp.where(ok, v, -1.0).reshape(-1)
-    top, idx = top_k_desc(score, budget)
+    top, idx, live = top_k_set_by_count(score, budget)
     ys_p = jnp.clip(cy.reshape(-1)[idx], 0, H - 1)
     xs_p = jnp.clip(cx.reshape(-1)[idx], 0, W - 1)
-    return ys_p, xs_p, top > 0.0, jnp.sum(ok, dtype=jnp.int32)
+    return ys_p, xs_p, live & (top > 0.0), jnp.sum(ok, dtype=jnp.int32)
 
 
 def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
@@ -1115,6 +1160,21 @@ def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
         dedupe_first=dedupe_first,
     )
     return ys_k, xs_k, votes_k, ok_k, ring_sat | over
+
+
+def _stream_select(live, budget: int):
+    """Indices of the first `budget` live rows, in stream order, without a
+    sort: a cumsum ranks each live row and a binary search (searchsorted
+    over the monotone cumsum) inverts the ranking. O(N) + budget*log(N),
+    vs the top_k's partial sort — measured 77 -> ~8 ms per 256-plane
+    batch at the [19456] -> 2048 base compaction. Returns (idx [budget],
+    ok [budget] bool)."""
+    csum = jnp.cumsum(live.astype(jnp.int32))
+    total = csum[-1]
+    q = jnp.arange(1, budget + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(csum, q)
+    ok = (q - 1) < total
+    return jnp.clip(idx, 0, live.shape[0] - 1), ok
 
 
 def compact_candidates(ys, xs, votes, valid, W: int, budget: int,
@@ -1174,18 +1234,29 @@ def compact_candidates(ys, xs, votes, valid, W: int, budget: int,
         sat = jnp.sum(live) > budget
         # duplicates share bitwise-identical votes, so dropping the extra
         # copies first and THEN truncating by descending votes keeps the
-        # strongest `budget` unique peaks
-        score = jnp.where(live, votes[order], -jnp.inf)
-        top, sel2 = top_k_desc(score, min(budget, score.shape[0]))
+        # strongest `budget` unique peaks (counting selection: identical
+        # SET to a vote-ordered top_k incl. the smaller-index tie rule,
+        # evaluated in the cell-key-sorted index space)
+        score = jnp.where(live, votes[order], -1.0)
+        top, sel2, okk = top_k_set_by_count(
+            score, min(budget, score.shape[0]))
         sel = order[sel2]
-        return ys[sel], xs[sel], votes[sel], top != -jnp.inf, sat
+        return ys[sel], xs[sel], votes[sel], okk & (top > 0.0), sat
     # conservative saturation: counted on the full stream INCLUDING
     # duplicates (a dup-inflated count can only add big-pass reruns,
     # never miss one)
     sat = jnp.sum(valid) > budget
-    score = jnp.where(valid, votes, -jnp.inf)  # dead rows sort last
-    top, sel = top_k_desc(score, min(budget, score.shape[0]))
-    ys, xs, votes, valid = ys[sel], xs[sel], votes[sel], valid[sel]
+    # BASE-pass compaction is stream-order (sort-free _stream_select, not
+    # a vote-ordered top_k): if truncation occurs sat is set and the
+    # caller's big-budget rerun REPLACES this plane's results wholesale
+    # (_circles_pooled), so which rows the truncation kept is never
+    # observable; when it doesn't occur every live row is kept and
+    # circle_finalize's total-order sort key makes input order moot. Only
+    # the overflow pass (dedupe_first above), whose own truncation has no
+    # further rerun, needs the vote-ordered keep-strongest semantics.
+    b = min(budget, valid.shape[0])
+    sel, ok = _stream_select(valid, b)
+    ys, xs, votes, valid = ys[sel], xs[sel], votes[sel], ok
     if not dedupe:
         return ys, xs, votes, valid, sat
     key = jnp.where(valid, ys * W + xs, jnp.iinfo(jnp.int32).max)
