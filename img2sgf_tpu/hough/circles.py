@@ -366,7 +366,7 @@ def top_k_desc(score, k: int):
     return score[order], order
 
 
-def top_k_set_by_count(score, k: int, iters: int = 16):
+def top_k_set_by_count(score, k: int, iters: int = 31):
     """The SET that lax.top_k(score, k) keeps — scores above a cutoff,
     ties resolved toward smaller index — selected by integer counting
     instead of a sort, and returned in STREAM order with a live prefix.
@@ -379,11 +379,14 @@ def top_k_set_by_count(score, k: int, iters: int = 16):
     property, which stream compaction provides.
 
     Cost: a ~iters-step integer binary search for the cutoff v* (one [N]
-    count-reduce per step; iters=16 covers vote values < 2^16), one
-    cumsum for the tie ranks, and a _stream_select. Measured 53 -> ~8 ms
-    per 256 x [65536] planes at k=2048 on v5e vs lax.top_k, and unlike
-    TopK/argsort its compile time and runtime are k-independent (the
-    k=16384 overflow selection rides the same passes).
+    count-reduce per step; iters=31 covers the full positive int32 vote
+    range — 16 would silently select ZERO candidates for vote values >=
+    2^16, unreachable at current image sizes but a total failure mode,
+    and the extra count-reduces are noise), one cumsum for the tie
+    ranks, and a _stream_select. Measured 53 -> ~8 ms per 256 x [65536]
+    planes at k=2048 on v5e vs lax.top_k, and unlike TopK/argsort its
+    compile time and runtime are k-independent (the k=16384 overflow
+    selection rides the same passes).
 
     Returns (votes [k], idx [k], valid [k]): valid is a prefix; rows
     beyond it are clipped fill, votes gathered as-is.
@@ -414,7 +417,12 @@ def top_k_set_by_count(score, k: int, iters: int = 16):
 def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
                       block: int = 1, with_count: bool = False,
                       margin: float | None = None):
-    """Accumulator local maxima > threshold, descending vote order.
+    """The top_k accumulator local maxima > threshold, as a SET (the same
+    rows a vote-descending top_k would keep, ties toward smaller flat
+    index) returned in STREAM order with a valid prefix — see
+    top_k_set_by_count. Callers must not rely on row order, only on the
+    set and the valid-prefix property. (The block > 1 path still returns
+    vote-descending rows via top_k_desc.)
 
     Returns (ys, xs, votes, valid) each [top_k]; with_count appends the
     TOTAL number of qualifying maxima in the plane (before the top_k
@@ -886,10 +894,12 @@ def propose_from_acc(acc, acc_threshold: float, top_k: int, hw=None,
                      margin_factor: float | None = None):
     """Stage 1b — budget-dependent proposal selection from the accumulator.
 
-    Returns (ys, xs, valid, sat): top_k qualifying maxima in descending
-    vote order plus an EXACT saturation flag (more qualifying maxima
-    existed than top_k slots — the overflow trigger; an exactly-filled
-    budget is complete, not saturated).
+    Returns (ys, xs, valid, sat): the SET of top_k qualifying maxima (by
+    votes, ties toward smaller flat index) in stream order with a valid
+    prefix (centre_candidates / top_k_set_by_count — row order carries no
+    meaning downstream), plus an EXACT saturation flag (more qualifying
+    maxima existed than top_k slots — the overflow trigger; an
+    exactly-filled budget is complete, not saturated).
 
     margin_factor gates the trigger on the vote level the truncation cut
     into: proposals matter only as carriers of a cv2-accepted exact peak,
@@ -1061,11 +1071,12 @@ def provisional_ring(patch, ys, xs, valid, acc_threshold: float, H: int,
     might dominate), so survivors get a second exact-vote pass at
     cells=3, which sees all four neighbours and decides the full test —
     see circle_candidates. Returns (ys_p, xs_p, valid_p, n_live): the
-    first three [budget], compacted by descending votes (a plain top_k:
-    validity is encoded as score > 0, and vote order makes truncation
-    drop the least-supported ring cells first if the budget ever
-    saturates); n_live is the exact pre-truncation count of passing ring
-    cells (n_live > budget == real truncation — the overflow trigger).
+    first three [budget] — the SET a vote-descending top_k would keep
+    (top_k_set_by_count: validity encoded as score > 0), in stream order
+    with a valid prefix, so if the budget ever truncates it drops the
+    least-voted ring cells; n_live is the exact pre-truncation count of
+    passing ring cells (n_live > budget == real truncation — the
+    overflow trigger).
     """
     K = patch.shape[0]
     flat = patch.reshape(K, 25)
@@ -1197,15 +1208,17 @@ def compact_candidates(ys, xs, votes, valid, W: int, budget: int,
     proportional to unique peaks, which measured ~75 ms cheaper per
     256-plane batch than carrying duplicates through them.
 
-    Live rows are compacted in DESCENDING vote order (a top_k on the
-    vote key), so if truncation does occur it drops the weakest
-    candidates — this matters in the big-budget overflow pass, whose own
-    sat flag has no further rerun to trigger (it would otherwise drop
-    arbitrary stream-order rows). Ties break by stream index (top_k's
-    smaller-index rule). A full i32-key argsort for the dedupe would
-    cost ~83 ms per 256 planes (measured v5e, [K*9+512 = 9728] rows),
-    so the dedupe runs on the [budget]-sized compacted prefix where the
-    key sort is ~7x cheaper.
+    The default path compacts live rows in STREAM order (sort-free
+    _stream_select); when truncation occurs it sets sat and the caller's
+    big-budget rerun replaces the plane's results wholesale, so which
+    rows were kept is unobservable. Only dedupe_first (below) selects
+    the vote-descending SET — it serves the overflow pass, whose own
+    sat flag has no further rerun to trigger, so ITS truncation must
+    drop the weakest unique peaks (ties toward smaller stream index via
+    top_k_set_by_count). A full i32-key argsort for the default path's
+    dedupe would cost ~83 ms per 256 planes (measured v5e, [K*9+512 =
+    9728] rows), so that dedupe runs on the [budget]-sized compacted
+    prefix where the key sort is ~7x cheaper.
 
     dedupe_first: dedupe the FULL stream before the budget truncation, so
     the budget applies to UNIQUE peaks and sat is exact on the unique

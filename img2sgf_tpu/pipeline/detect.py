@@ -346,10 +346,18 @@ def _circles_pooled(planes, cfg: DetectionConfig, hw_planes):
     is a pure function of it).
     """
     st = _plane_state_pool(planes, cfg, hw_planes)
-    circles, valid, sat = _circles_from_state(st, cfg, hw_planes)
     kb = cfg.overflow_center_candidates
     if kb <= cfg.max_center_candidates:
+        # overflow disabled by config: there is no big-budget rerun to
+        # escape to, so a saturated plane's truncation is FINAL — use the
+        # vote-ordered unique-peak selection (dedupe_first) so it keeps
+        # the strongest candidates instead of arbitrary first-in-stream
+        # rows (the base pass below can afford the cheaper stream-order
+        # compaction only because its truncations trigger the rerun)
+        circles, valid, _ = _circles_from_state(
+            st, cfg, hw_planes, dedupe_first=True)
         return circles, valid
+    circles, valid, sat = _circles_from_state(st, cfg, hw_planes)
 
     P = planes.shape[0]
     RP = _overflow_chunk(P)

@@ -68,10 +68,15 @@ def test_circle_stream_residual_pinned(name, max_miss, max_extra):
         got = mine[v]
         used = np.zeros(len(got), bool)
         for c in ref:
+            # nearest UNUSED detected circle within the 2 px gate (a
+            # nearest-only match would count a miss whenever the single
+            # nearest row was already claimed, even with another in-gate
+            # candidate free — flaky on dense duplicate-adjacent streams)
             d = (np.hypot(got[:, 0] - c[0], got[:, 1] - c[1])
-                 if len(got) else np.asarray([np.inf]))
-            j = int(np.argmin(d)) if len(got) else -1
-            if j >= 0 and d[j] <= 2.0 and not used[j]:
+                 if len(got) else np.empty((0,)))
+            d = np.where(used, np.inf, d)
+            j = int(np.argmin(d)) if len(d) else -1
+            if j >= 0 and d[j] <= 2.0:
                 used[j] = True
             else:
                 tot_miss += 1
