@@ -366,7 +366,7 @@ def top_k_desc(score, k: int):
     return score[order], order
 
 
-def top_k_set_by_count(score, k: int, iters: int = 31):
+def top_k_set_by_count(score, k: int, iters: int = 31, via: str = "count"):
     """The SET that lax.top_k(score, k) keeps — scores above a cutoff,
     ties resolved toward smaller index — selected by integer counting
     instead of a sort, and returned in STREAM order with a live prefix.
@@ -378,23 +378,45 @@ def top_k_set_by_count(score, k: int, iters: int = 31):
     stage is per-row or set-based), it only needs the valid-prefix
     property, which stream compaction provides.
 
-    Cost: a ~iters-step integer binary search for the cutoff v* (one [N]
-    count-reduce per step; iters=31 covers the full positive int32 vote
-    range — 16 would silently select ZERO candidates for vote values >=
-    2^16, unreachable at current image sizes but a total failure mode,
-    and the extra count-reduces are noise), one cumsum for the tie
-    ranks, and a _stream_select. Measured 53 -> ~8 ms per 256 x [65536]
-    planes at k=2048 on v5e vs lax.top_k, and unlike TopK/argsort its
-    compile time and runtime are k-independent (the k=16384 overflow
-    selection rides the same passes).
+    Cost: an adaptive integer binary search for the cutoff v* (one [N]
+    count-reduce per step, while_loop until lo+1 == hi — safe for the
+    full positive int32 vote range, unlike the old fixed 16 iterations
+    that silently selected ZERO candidates at votes >= 2^16, and
+    converging in ~log2(max_vote) ~ 10 steps on real planes), one
+    cumsum for the tie ranks, and a _stream_select. Measured 53 -> ~8 ms
+    per 256 x [65536] planes at k=2048 on v5e vs lax.top_k, and unlike
+    TopK/argsort its compile time and runtime are k-independent (the
+    k=16384 overflow selection rides the same passes). `iters` is
+    retained for API compatibility and ignored.
+
+    via="sort": same output, selected with one stable f32 argsort plus a
+    [k] index re-sort instead of the counting search. XLA:TPU's generic
+    sort is fast (~1.5 ms per 8x[155k] rows, v5e) while the counting
+    path's ~31 sequential count-reduce dispatches plus _stream_select
+    dominate at STREAM scales (ring/compact selections over 10^4-10^5
+    rows: measured 14 -> ~3 ms). The counting path still wins at the
+    PROPOSE scale (full accumulator planes, 10^5 rows x 100+ vmapped
+    planes, where one [N] pass is cheap and sorts are not) — callers
+    pick: propose counts, stream stages sort.
 
     Returns (votes [k], idx [k], valid [k]): valid is a prefix; rows
     beyond it are clipped fill, votes gathered as-is.
     """
+    if via == "sort":
+        N = score.shape[0]
+        # vote-descending stable argsort = the top_k set with ties to the
+        # smaller index; re-sorting the kept indices (dead rows keyed to
+        # N so they sink) restores stream order with a valid prefix
+        order = jnp.argsort(-score, stable=True)[:k]
+        livek = score[order] > 0
+        skey = jnp.sort(jnp.where(livek, order, N))
+        ok = skey < N
+        idx = jnp.clip(skey, 0, N - 1)
+        return score[idx], idx, ok
     n_above_k = jnp.sum(score > 0) <= k  # cheap common case: nothing cut
     hi0 = jnp.maximum(jnp.max(score), 0.0).astype(jnp.int32)
 
-    def body(_, lohi):
+    def body(lohi):
         lo, hi = lohi
         # invariant: count(> lo) > k, count(> hi) <= k; converge on the
         # smallest v with count(> v) <= k
@@ -402,8 +424,14 @@ def top_k_set_by_count(score, k: int, iters: int = 31):
         over = jnp.sum(score > mid.astype(score.dtype)) > k
         return jnp.where(over, mid, lo), jnp.where(over, hi, mid)
 
-    lo, hi = jax.lax.fori_loop(
-        0, iters, body, (jnp.int32(-1), hi0 + 1))
+    # adaptive trip count: each step is one [N] count-reduce dispatch
+    # (~0.8 ms at 48 x [295k] planes), and real vote maxima are a few
+    # hundred, so converging in ceil(log2(hi0)) ~ 10 steps beats any
+    # fixed bound that must also cover the full int32 range
+    lo, hi = jax.lax.while_loop(
+        lambda lohi: lohi[0] + 1 < lohi[1],
+        body, (jnp.int32(-1), hi0 + 1))
+    del iters
     vstar = jnp.where(n_above_k, jnp.int32(-1), hi).astype(score.dtype)
     above = score > vstar
     ties = (score == vstar) & (score > 0)
@@ -416,7 +444,8 @@ def top_k_set_by_count(score, k: int, iters: int = 31):
 
 def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
                       block: int = 1, with_count: bool = False,
-                      margin: float | None = None):
+                      margin: float | None = None,
+                      select_min: float | None = None):
     """The top_k accumulator local maxima > threshold, as a SET (the same
     rows a vote-descending top_k would keep, ties toward smaller flat
     index) returned in STREAM order with a valid prefix — see
@@ -463,6 +492,13 @@ def centre_candidates(acc, acc_threshold: float, top_k: int, hw=None,
     counts = (n_live,)
     if margin is not None:
         counts = counts + (jnp.sum(is_max & (acc >= margin), dtype=jnp.int32),)
+    if select_min is not None:
+        # restrict the SELECTION (not the counts above) to maxima at or
+        # above select_min — done inside the score plane so the returned
+        # rows keep the valid-prefix property the Pallas rescore's
+        # dynamic trip count depends on (a post-hoc valid &= filter
+        # would punch holes in the prefix)
+        is_max = is_max & (acc >= select_min)
     if block > 1:
         b = block
         Hb, Wb = -(-H // b), -(-W // b)
@@ -891,7 +927,8 @@ def circle_plane_state(img_u8, canny_high: float, min_r: int, max_r: int,
 
 def propose_from_acc(acc, acc_threshold: float, top_k: int, hw=None,
                      block: int = 1, threshold_factor: float = 0.5,
-                     margin_factor: float | None = None):
+                     margin_factor: float | None = None,
+                     margin_filter: bool = False):
     """Stage 1b — budget-dependent proposal selection from the accumulator.
 
     Returns (ys, xs, valid, sat): the SET of top_k qualifying maxima (by
@@ -915,6 +952,16 @@ def propose_from_acc(acc, acc_threshold: float, top_k: int, hw=None,
     budget — the steady state on dense scans — no longer trigger the
     big-budget rerun. None, or a margin at/below the proposal floor,
     restores the pure-count trigger.
+
+    margin_filter (the big-budget overflow pass's mode): additionally
+    DROP kept proposals whose approximate votes sit below the margin.
+    By the same fixture-wide measurement, a sub-margin proposal cannot
+    be the carrier of any cv2-accepted peak, so in a pass with no
+    further rerun it is pure rescore work (ex5's dense planes carry
+    ~25k sub-margin junk rows across their 16384-budget selections —
+    measured 2026-08-20, tools/diag_tier_counts.py). The base pass must
+    NOT filter: its sub-margin proposals are what make unsaturated base
+    results exact without any margin assumption.
     """
     H, W = acc.shape
     floor = threshold_factor * acc_threshold
@@ -932,6 +979,7 @@ def propose_from_acc(acc, acc_threshold: float, top_k: int, hw=None,
         ys, xs, votes, valid, n_live, n_margin = centre_candidates(
             acc, floor, top_k, hw=hw, block=block, with_count=True,
             margin=margin,
+            select_min=margin if margin_filter else None,
         )
         sat = (n_live > top_k) & (n_margin >= top_k)
     return (jnp.clip(ys, 0, H - 1), jnp.clip(xs, 0, W - 1), valid, sat)
@@ -1112,7 +1160,7 @@ def provisional_ring(patch, ys, xs, valid, acc_threshold: float, H: int,
     interior = (cy >= 1) & (cy <= h - 2) & (cx >= 1) & (cx <= w - 2)
     ok = valid[:, None] & ok & interior
     score = jnp.where(ok, v, -1.0).reshape(-1)
-    top, idx, live = top_k_set_by_count(score, budget)
+    top, idx, live = top_k_set_by_count(score, budget, via="sort")
     ys_p = jnp.clip(cy.reshape(-1)[idx], 0, H - 1)
     xs_p = jnp.clip(cx.reshape(-1)[idx], 0, W - 1)
     return ys_p, xs_p, live & (top > 0.0), jnp.sum(ok, dtype=jnp.int32)
@@ -1174,18 +1222,22 @@ def circle_candidates(emask, sx, sy, ys, xs, valid, min_r: int, max_r: int,
 
 
 def _stream_select(live, budget: int):
-    """Indices of the first `budget` live rows, in stream order, without a
-    sort: a cumsum ranks each live row and a binary search (searchsorted
-    over the monotone cumsum) inverts the ranking. O(N) + budget*log(N),
-    vs the top_k's partial sort — measured 77 -> ~8 ms per 256-plane
-    batch at the [19456] -> 2048 base compaction. Returns (idx [budget],
-    ok [budget] bool)."""
-    csum = jnp.cumsum(live.astype(jnp.int32))
-    total = csum[-1]
-    q = jnp.arange(1, budget + 1, dtype=jnp.int32)
-    idx = jnp.searchsorted(csum, q)
-    ok = (q - 1) < total
-    return jnp.clip(idx, 0, live.shape[0] - 1), ok
+    """Indices of the first `budget` live rows, in stream order: one
+    stable bool argsort (live rows first, original order preserved).
+
+    Measured alternatives on v5e (2026-08-20), all slower in the fused
+    pipeline: cumsum + searchsorted with `budget` queries (searchsorted
+    is ~3 us/query — 49 ms at 16k queries over [155k]); a two-level
+    block scheme (block-count cumsum + small searchsorted + local
+    prefix) that won its microbenchmark but lost ~12% of END-TO-END
+    bench throughput to per-row gather overhead at the [budget, block]
+    gather. The plain stable argsort runs at ~0.7M rows/ms and fuses
+    well. Returns (idx [budget], ok [budget] bool)."""
+    order = jnp.argsort(jnp.logical_not(live), stable=True)
+    idx = order[:budget]
+    total = jnp.sum(live, dtype=jnp.int32)
+    ok = jnp.arange(budget, dtype=jnp.int32) < total
+    return idx, ok
 
 
 def compact_candidates(ys, xs, votes, valid, W: int, budget: int,
@@ -1247,12 +1299,12 @@ def compact_candidates(ys, xs, votes, valid, W: int, budget: int,
         sat = jnp.sum(live) > budget
         # duplicates share bitwise-identical votes, so dropping the extra
         # copies first and THEN truncating by descending votes keeps the
-        # strongest `budget` unique peaks (counting selection: identical
+        # strongest `budget` unique peaks (sort selection: identical
         # SET to a vote-ordered top_k incl. the smaller-index tie rule,
         # evaluated in the cell-key-sorted index space)
         score = jnp.where(live, votes[order], -1.0)
         top, sel2, okk = top_k_set_by_count(
-            score, min(budget, score.shape[0]))
+            score, min(budget, score.shape[0]), via="sort")
         sel = order[sel2]
         return ys[sel], xs[sel], votes[sel], okk & (top > 0.0), sat
     # conservative saturation: counted on the full stream INCLUDING

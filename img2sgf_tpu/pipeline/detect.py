@@ -99,6 +99,21 @@ def _use_pallas_rescore(cfg: DetectionConfig, H: int, W: int) -> bool:
     return (H + 2 * pad + 15) * (W + 2 * pad + 127) * 4 <= (24 << 20)
 
 
+def _use_pallas_radius(cfg: DetectionConfig, H: int, W: int) -> bool:
+    """Pallas radius-histogram kernel on TPU backends (see
+    hough/radius_pallas.py); XLA gather path elsewhere (CPU tests) and
+    for canvases whose padded plane would strain VMEM or radius ranges
+    outside the kernel's window geometry (win + 7 <= 80)."""
+    from ..ops.common import tpu_backend
+
+    if not tpu_backend():
+        return False
+    if cfg.circle_max_radius > 36 or cfg.circle_min_radius < 1:
+        return False
+    pad = cfg.circle_max_radius
+    return (H + 2 * pad + 15) * (W + 2 * pad + 127) * 4 <= (24 << 20)
+
+
 def _variant_dedup(cfg: DetectionConfig, V: int):
     """Identity-blur dedup: cv.medianBlur / cv.GaussianBlur at ksize 1 are
     identities (img2sgf.py:174-175 with k=1), so variants 2 and 3 equal
@@ -220,7 +235,9 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
                         top_k: int | None = None,
                         prov_budget: int | None = None,
                         peak_budget: int | None = None,
-                        dedupe_first: bool = False):
+                        dedupe_first: bool = False,
+                        margin_filter: bool = False,
+                        skip_saturated: bool = False):
     """Budget-dependent circle selection from precomputed plane state.
 
     Stages 1b-2 (proposal top-k, exact patch votes, recentre/NMS) are
@@ -231,6 +248,16 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
     3], valid [P, max_out], sat [P] bool) — sat flags planes where a
     capacity TRUNCATED candidates (exact counts, not filled-slot
     heuristics), i.e. the plane needs the big-budget rerun.
+
+    margin_filter (overflow-pass mode): drop sub-margin proposals from
+    the selection — provably not carriers (propose_from_acc docstring).
+    skip_saturated (base-pass mode under an enabled overflow): zero out
+    ALL proposals of proposal-saturated planes right after the propose
+    stage — their base results are replaced wholesale by the big-budget
+    rerun (_circles_pooled), so their rescore/radius work is pure waste
+    (the Pallas rescore's dynamic trip count and the radius pool's
+    dead-chunk skip turn zero proposals into ~zero cost; measured 6 of
+    48 planes on the 768-bucket bench batch).
     """
     H, W = st["acc"].shape[-2], st["acc"].shape[-1]
     use_pallas = _use_pallas_rescore(cfg, H, W)
@@ -246,6 +273,7 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
                     block=cfg.propose_block,
                     threshold_factor=cfg.propose_threshold_factor,
                     margin_factor=cfg.overflow_margin_factor,
+                    margin_filter=margin_filter,
                 )
             )(st["acc"])
         else:
@@ -255,8 +283,11 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
                     block=cfg.propose_block,
                     threshold_factor=cfg.propose_threshold_factor,
                     margin_factor=cfg.overflow_margin_factor,
+                    margin_filter=margin_filter,
                 )
             )(st["acc"], hw_planes[0], hw_planes[1])
+        if skip_saturated:
+            pvalid = pvalid & jnp.logical_not(psat)[:, None]
     with jax.named_scope("circle_candidates"):
         if hw_planes is None:
             ys_c, xs_c, votes, valid2, ring_sat = jax.vmap(
@@ -280,10 +311,20 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
             )(st["emask"], st["sx"], st["sy"], ys, xs, pvalid,
               hw_planes[0], hw_planes[1])
     with jax.named_scope("circle_radius"):
-        r_best, support = radius_support_pool(
-            st["emask"], ys_c, xs_c, valid2,
-            cfg.circle_min_radius, cfg.circle_max_radius,
-        )
+        # valid2 is a live prefix per plane (compact_candidates), which
+        # the Pallas kernel's dynamic trip count requires
+        if _use_pallas_radius(cfg, H, W):
+            from ..hough.radius_pallas import radius_support_pallas
+
+            r_best, support = radius_support_pallas(
+                st["emask"], ys_c, xs_c, valid2,
+                cfg.circle_min_radius, cfg.circle_max_radius,
+            )
+        else:
+            r_best, support = radius_support_pool(
+                st["emask"], ys_c, xs_c, valid2,
+                cfg.circle_min_radius, cfg.circle_max_radius,
+            )
     with jax.named_scope("circle_finalize"):
         circles, valid = jax.vmap(
             lambda y, x, v, r, s: circle_finalize(
@@ -307,9 +348,13 @@ def _circles_on_planes(planes, cfg: DetectionConfig, hw_planes,
 
 
 def _overflow_chunk(P: int) -> int:
-    """Rerun-chunk width for the overflow pass: bounded so the big-budget
-    program stays small, and a divisor of P so chunks reshape cleanly."""
-    for c in (16, 8, 6, 4, 2, 1):
+    """Rerun-chunk width for the overflow pass: a divisor of P so chunks
+    reshape cleanly, SMALL so the saturated-plane-sorted prefix wastes
+    few innocent planes per big-budget chunk (RP=16 ran the big pass on
+    16 planes when only 8 were saturated — half the ~400 ms overflow
+    cost of the 768-bucket bench batch was planes that didn't need it;
+    RP=4 bounds that waste to 3 planes at ~0.25 ms/chunk dispatch)."""
+    for c in (4, 6, 8, 2, 16, 1):
         if c <= P and P % c == 0:
             return c
     return P
@@ -357,7 +402,8 @@ def _circles_pooled(planes, cfg: DetectionConfig, hw_planes):
         circles, valid, _ = _circles_from_state(
             st, cfg, hw_planes, dedupe_first=True)
         return circles, valid
-    circles, valid, sat = _circles_from_state(st, cfg, hw_planes)
+    circles, valid, sat = _circles_from_state(st, cfg, hw_planes,
+                                              skip_saturated=True)
 
     P = planes.shape[0]
     RP = _overflow_chunk(P)
@@ -382,7 +428,7 @@ def _circles_pooled(planes, cfg: DetectionConfig, hw_planes):
             # carry ~2.5x duplicate emissions; see compact_candidates)
             c, v, _ = _circles_from_state(
                 stc, cfg, hwc, top_k=kb, prov_budget=prov, peak_budget=peak,
-                dedupe_first=True,
+                dedupe_first=True, margin_filter=True,
             )
             return c, v
 

@@ -233,6 +233,42 @@ def test_radius_pool_matches_cv2_hist10():
         assert int(np.asarray(got_s)[0, i]) == want_c, f"candidate {i} count"
 
 
+def test_radius_pallas_matches_xla_pool():
+    """Interpret-mode Pallas radius kernel == the XLA window-gather
+    radius_support_pool, bit for bit (same _hist10_tables binning by
+    construction; this pins the block/roll geometry and field packing),
+    including border candidates and a dead suffix."""
+    from img2sgf_tpu.hough.circles import radius_support_pool
+    from img2sgf_tpu.hough.radius_pallas import radius_support_pallas
+
+    rng = np.random.default_rng(9)
+    H, W = 120, 136
+    K = 24
+    emask = rng.random((H, W)) < 0.12
+    yy, xx = np.mgrid[0:H, 0:W]
+    for (ry, rx, rr) in ((40, 40, 11), (80, 90, 23), (64, 64, 5)):
+        d = np.sqrt((yy - ry) ** 2 + (xx - rx) ** 2)
+        emask |= np.abs(d - rr) < 0.6
+    ys = rng.integers(0, H, K)  # include border candidates
+    xs = rng.integers(0, W, K)
+    ys[:3], xs[:3] = (40, 80, 64), (40, 90, 64)
+    want_mask = np.ones(K, bool)
+    want_mask[-5:] = False  # live prefix with dead tail
+
+    want_r, want_s = radius_support_pool(
+        jnp.asarray(emask)[None], jnp.asarray(ys)[None],
+        jnp.asarray(xs)[None], jnp.asarray(want_mask)[None], 1, 30,
+        chunk=8,
+    )
+    got_r, got_s = radius_support_pallas(
+        jnp.asarray(emask)[None], jnp.asarray(ys)[None],
+        jnp.asarray(xs)[None], jnp.asarray(want_mask)[None], 1, 30,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+
 def test_finalize_matches_cv2_selection():
     """circle_finalize == cv2's modern selection: supported candidates
     sorted by (support desc, r desc, cx asc, cy asc), then greedy minDist
