@@ -1,22 +1,49 @@
 """Benchmark: batched 512x512 diagram detection throughput on one chip.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints one JSON line per metric; the driver parses the LAST line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-Baseline: the reference pipeline measured headlessly on CPU at 6.66
-diagrams/sec single-thread (BASELINE.md, mean 150.2 ms/image over the 18
-fixtures at native size). Here we measure the TPU pipeline on the
-BASELINE.json config #5 shape: batched 512x512 scans.
+The final line also carries:
+  real_scan_img_s / large_scan_img_s   content-honest throughput on the
+        reference fixtures at native size (768- and 1280-bucket classes),
+        each with a parity digest against the committed cv2 goldens and a
+        per-CLASS CPU-baseline ratio (the blended 18-fixture baseline
+        over-weights small fixtures; see tools/baseline_perclass.py)
+  fast_img_s   the --fast preset's throughput on the same 768 class
+        (its accuracy contract is measured in docs/PARITY.md)
+  stage_ms / bw_util   per-stage device time on the headline batch and
+        the fraction of the v5e HBM-bandwidth roof each stage reaches
+        (this workload has no MXU content; the memory roof is the
+        binding one and mfu ~ 0 — see tools/profile_batched.py and
+        docs/DESIGN.md "Roofline")
+  ratchet_warn   set when the headline fell below 0.9x the best prior
+        BENCH_r*.json (the r4 regression shipped silently; this can't)
+
+Baselines (single-thread CPU, reference algorithm re-run headlessly —
+BASELINE.md): blended 18-fixture mean 6.66 img/s; per-class means in
+PERCLASS_BASELINE below.
+
+Batch 64 per the measured knee (docs/DESIGN.md "Batch scaling", flat
+within ~10% from 8 to 128 — per-image compute dominates).
 """
 
 from __future__ import annotations
 
+import glob
 import json
+import os
 import time
 
 import numpy as np
 
-BASELINE_DIAGRAMS_PER_SEC = 6.66  # reference CPU, BASELINE.md
+BASELINE_DIAGRAMS_PER_SEC = 6.66  # reference CPU, 18-fixture blend, BASELINE.md
+# per-class single-thread CPU baselines, idle machine 2026-08-20
+# (BASELINE.md "Per-class baseline"; tools/baseline_perclass.py)
+PERCLASS_BASELINE = {768: 5.59, 1280: 3.44}
+HBM_GBPS = 819.0  # v5e peak
+
+BATCH = 64
+SIZE = 512
 
 
 def make_batch(batch: int, size: int = 512) -> np.ndarray:
@@ -43,28 +70,18 @@ def make_batch(batch: int, size: int = 512) -> np.ndarray:
     return np.repeat(imgs[:, :, :, None], 3, axis=3)
 
 
-def bench_real_scans(cfg, sync, bucket: int = 768):
-    """Honest content-dependent throughput: the reference fixtures that
-    share one canvas bucket, run at native size through the bucketed
-    serving path. bucket=768 covers the book scans incl. the dense ex5;
-    bucket=1280 covers the large-scan class (ex15-17, ~1.35 MPix — the
-    images that exceed the per-plane Pallas-hysteresis VMEM cutoff and so
-    exercise the pooled bit-packed hysteresis path). Returns (metric dict
-    or None)."""
+def _load_bucket(bucket: int):
     import pathlib
     import jax.numpy as jnp
 
     from img2sgf_tpu.config import choose_line_threshold
-    from img2sgf_tpu.pipeline import detect_board_bucket_batch
+    from img2sgf_tpu.hostio import load_rgb
     from img2sgf_tpu.pipeline.detect import bucket_dim
 
     fdir = pathlib.Path("/root/reference/test_images")
     if not fdir.is_dir():
         return None
-    from img2sgf_tpu.hostio import load_rgb
-
-    imgs = []
-    names = []
+    imgs, names = [], []
     for f in sorted(fdir.glob("*.jpg")):
         rgb = load_rgb(str(f))
         h, w = rgb.shape[:2]
@@ -83,16 +100,44 @@ def bench_real_scans(cfg, sync, bucket: int = 768):
         canv[i, :h, :w] = rgb
         hs[i], ws[i] = h, w
         thr[i] = choose_line_threshold(h, w)
-    canv = jnp.asarray(canv)
-    hs, ws, thr = jnp.asarray(hs), jnp.asarray(ws), jnp.asarray(thr)
+    return (jnp.asarray(canv), jnp.asarray(hs), jnp.asarray(ws),
+            jnp.asarray(thr), names)
+
+
+def bench_real_scans(cfg, sync, bucket: int = 768, with_parity: bool = True,
+                     reps: int = 5):
+    """Honest content-dependent throughput: the reference fixtures that
+    share one canvas bucket, run at native size through the bucketed
+    serving path. Returns (metric dict or None)."""
+    import pathlib
+
+    from img2sgf_tpu.pipeline import detect_board_bucket_batch
+
+    loaded = _load_bucket(bucket)
+    if loaded is None:
+        return None
+    canv, hs, ws, thr, names = loaded
+    B = canv.shape[0]
 
     res = detect_board_bucket_batch(canv, cfg, thr, hs, ws)  # compile
     sync(res)
-    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         sync(detect_board_bucket_batch(canv, cfg, thr, hs, ws))
     dt = (time.perf_counter() - t0) / reps
+
+    out = {
+        "metric": (f"native-size reference scans/sec/chip "
+                   f"({B} fixtures, {bucket} bucket)"),
+        "value": round(B / dt, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(B / dt / BASELINE_DIAGRAMS_PER_SEC, 2),
+    }
+    if bucket in PERCLASS_BASELINE:
+        out["vs_class_baseline"] = round(
+            B / dt / PERCLASS_BASELINE[bucket], 2)
+    if not with_parity:
+        return out
 
     # parity fingerprint (VERDICT r2 #3): the detection results are already
     # in hand — grade them against the committed cv2 goldens so every
@@ -113,28 +158,106 @@ def bench_real_scans(cfg, sync, bucket: int = 768):
             parity[name] = round(float((golden == boards[i]).mean()), 4)
         else:
             parity[name] = "agree_not_ready"
+    out["parity"] = parity
+    return out
 
-    return {
-        "metric": f"native-size reference scans/sec/chip ({B} fixtures, {bucket} bucket)",
-        "value": round(B / dt, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(B / dt / BASELINE_DIAGRAMS_PER_SEC, 2),
-        "parity": parity,
+
+def bench_stages(cfg, images, thresholds):
+    """Per-stage device time on the headline batch (sync-floor corrected)
+    + analytic HBM-bandwidth utilization per stage. Four composite
+    programs (pre / plane state / circle selection / post) — the full
+    roofline story lives in tools/profile_batched.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from img2sgf_tpu.pipeline.detect import (
+        _circles_pooled, _plane_state_pool, _post_circles, _pre_circles,
+        _variant_dedup,
+    )
+
+    def mat(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
+    g = jax.jit(lambda x: x + 1)
+    z = jnp.zeros((8, 128), jnp.float32)
+    mat(g(z))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        mat(g(z))
+    floor_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    def one(fn, *args, reps=5):
+        out = fn(*args)
+        mat(out)
+        t0 = time.perf_counter()
+        for _ in range(reps - 1):
+            fn(*args)
+        out = fn(*args)
+        mat(out)
+        return ((time.perf_counter() - t0) * 1e3 - floor_ms) / reps, out
+
+    B = images.shape[0]
+    size = images.shape[1]
+    stage_ms = {}
+    pre = jax.jit(jax.vmap(lambda im: _pre_circles(im, cfg, None)))
+    stage_ms["pre"], (grey, edges, variants) = one(pre, images)
+    keep, expand = _variant_dedup(cfg, variants.shape[1])
+    Vu = len(keep)
+    pool = variants[:, jnp.asarray(keep)].reshape(B * Vu, size, size)
+    f_state = jax.jit(lambda p: _plane_state_pool(p, cfg, None))
+    stage_ms["state"], _ = one(f_state, pool)
+    f_pool = jax.jit(lambda p: _circles_pooled(p, cfg, None))
+    t_all, (circ_u, val_u) = one(f_pool, pool)
+    stage_ms["select"] = t_all - stage_ms["state"]
+    vcirc = circ_u.reshape(B, Vu, -1, 3)[:, jnp.asarray(expand)]
+    vval = val_u.reshape(B, Vu, -1)[:, jnp.asarray(expand)]
+    f_post = jax.jit(jax.vmap(
+        lambda g_, e, c, cv, t: _post_circles(g_, e, c, cv, cfg, t, None)))
+    stage_ms["post"], _ = one(f_post, grey, edges,
+                              vcirc.reshape(B, -1, 3), vval.reshape(B, -1),
+                              thresholds)
+    # analytic HBM bytes (see tools/profile_batched.py for the model)
+    px = size * size
+    P = B * Vu
+    n_bins = cfg.num_angle_bins
+    n_seg = (cfg.circle_max_radius - cfg.circle_min_radius + 1) // 5
+    gb = {
+        "pre": B * px * (3 + 16 + Vu + 2 + 24) / 1e9,
+        "state": (P * px * 17 / 1e9 + (P / 32) * px * 96 / 1e9
+                  + (P / 4) * n_bins * px * 4 * (1 + 1.4 * n_seg / 6) / 1e9),
+        "select": P * px * 4 * 24 / 1e9,
+        "post": B * px * 32 / 1e9,
     }
+    bw_util = {k: round(gb[k] / HBM_GBPS * 1e3 / stage_ms[k], 3)
+               for k in gb if stage_ms.get(k, 0) > 0}
+    return ({k: round(v, 1) for k, v in stage_ms.items()}, bw_util)
+
+
+def prior_best_headline() -> float | None:
+    best = None
+    for f in sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))):
+        try:
+            parsed = json.loads(open(f).read()).get("parsed") or {}
+            v = parsed.get("value")
+            if isinstance(v, (int, float)):
+                best = v if best is None else max(best, v)
+        except Exception:
+            continue
+    return best
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from img2sgf_tpu.config import DetectionConfig, choose_line_threshold
     from img2sgf_tpu.pipeline import detect_board_batch
 
-    batch = 32
-    size = 512
     cfg = DetectionConfig()
-    images = jnp.asarray(make_batch(batch, size))
-    thresholds = jnp.full((batch,), float(choose_line_threshold(size, size)), jnp.float32)
+    images = jnp.asarray(make_batch(BATCH, SIZE))
+    thresholds = jnp.full((BATCH,), float(choose_line_threshold(SIZE, SIZE)),
+                          jnp.float32)
 
     res = detect_board_batch(images, cfg, thresholds)  # compile
     np.asarray(res.board_ready)
@@ -148,14 +271,13 @@ def main():
         res = detect_board_batch(images, cfg, thresholds)
         np.asarray(res.board_ready)
     dt = (time.perf_counter() - t0) / reps
-    throughput = batch / dt
+    throughput = BATCH / dt
 
     ready = int(np.asarray(res.board_ready).sum())
-    assert ready >= batch * 0.9, f"detection collapsed: {ready}/{batch} boards"
+    assert ready >= BATCH * 0.9, f"detection collapsed: {ready}/{BATCH} boards"
 
-    # secondary, content-honest metrics first (real book scans at native
-    # size — slower than the synthetic number; VERDICT r1 weak #7). The
-    # 1280 bucket is the large-scan class (VERDICT r3 #5).
+    # content-honest metrics on real book scans at native size (VERDICT r1
+    # weak #7); the 1280 bucket is the large-scan class (VERDICT r3 #5)
     sync = lambda r: np.asarray(r.board_ready)
     real = bench_real_scans(cfg, sync)
     if real is not None:
@@ -164,21 +286,37 @@ def main():
     if big is not None:
         print(json.dumps(big))
 
+    # the --fast serving preset, same 768-bucket class (VERDICT r4 #4;
+    # accuracy contract measured in docs/PARITY.md)
+    fast = bench_real_scans(DetectionConfig.fast(), sync, with_parity=False)
+    if fast is not None:
+        fast["metric"] = "--fast preset " + fast["metric"]
+        print(json.dumps(fast))
+
+    stage_ms, bw_util = bench_stages(cfg, images, thresholds)
+
+    final = {
+        "metric": "512x512 diagrams/sec/chip (batched detection)",
+        "value": round(throughput, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(throughput / BASELINE_DIAGRAMS_PER_SEC, 2),
+        "batch": BATCH,
+        "real_scan_img_s": None if real is None else real["value"],
+        "large_scan_img_s": None if big is None else big["value"],
+        "fast_img_s": None if fast is None else fast["value"],
+        "stage_ms": stage_ms,
+        "bw_util": bw_util,
+        "mfu": 0.0,
+        "parity": None if real is None else real["parity"],
+        "parity_1280": None if big is None else big["parity"],
+    }
+    prior = prior_best_headline()
+    if prior is not None and throughput < 0.9 * prior:
+        final["ratchet_warn"] = (
+            f"headline {throughput:.1f} < 0.9x best prior BENCH "
+            f"({prior:.1f}) — investigate before shipping")
     # the driver parses the LAST line: keep the headline metric there
-    print(
-        json.dumps(
-            {
-                "metric": "512x512 diagrams/sec/chip (batched detection)",
-                "value": round(throughput, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(throughput / BASELINE_DIAGRAMS_PER_SEC, 2),
-                "real_scan_img_s": None if real is None else real["value"],
-                "large_scan_img_s": None if big is None else big["value"],
-                "parity": None if real is None else real["parity"],
-                "parity_1280": None if big is None else big["parity"],
-            }
-        )
-    )
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":
