@@ -156,6 +156,36 @@ class DetectionConfig:
     #                                     longer rerun big. <= propose_
     #                                     threshold_factor restores the
     #                                     pure-count trigger.
+    carrier_floor_factor: float | None = 0.65  # proposal-selection prune,
+    #                                     applied in BOTH the base and the
+    #                                     big-budget pass: proposals whose
+    #                                     approximate votes fall below
+    #                                     factor * circle_acc_threshold
+    #                                     (0.65 = 19.5 at the defaults,
+    #                                     i.e. integer votes <= 19) are
+    #                                     dropped before the exact-vote
+    #                                     rescore — they are pure rescore
+    #                                     cost unless they carry a
+    #                                     cv2-accepted peak. Measured
+    #                                     carrier floor over the committed
+    #                                     per-variant golden streams
+    #                                     (ex4/ex5/ex12, every cv2 circle's
+    #                                     best cheb-2 accumulator vote,
+    #                                     2026-08-20): minimum 20.0 (ex4 v9
+    #                                     at (127,360) — the rank-1027 case
+    #                                     that falsifies 0.7 as a carrier
+    #                                     bound), next-lowest 26/27. 0.65
+    #                                     keeps every measured carrier with
+    #                                     half a vote of headroom and
+    #                                     prunes the 19-vote junk band
+    #                                     (dense planes hover at the >18
+    #                                     proposal floor). This is a
+    #                                     fixture-measured bound, not a
+    #                                     proof; None disables the prune
+    #                                     and restores the full 0.6x floor
+    #                                     at ~10-15% selection cost.
+    #                                     test_circle_residual.py is the
+    #                                     regression net.
     propose_block: int = 1              # proposal compaction: keep the top
     #                                     cell per BxB block of the masked
     #                                     cascade accumulator before top_k

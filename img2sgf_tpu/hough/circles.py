@@ -409,7 +409,11 @@ def top_k_set_by_count(score, k: int, iters: int = 31, via: str = "count"):
         # N so they sink) restores stream order with a valid prefix
         order = jnp.argsort(-score, stable=True)[:k]
         livek = score[order] > 0
-        skey = jnp.sort(jnp.where(livek, order, N))
+        skey = jnp.where(livek, order, N)
+        if skey.shape[0] < k:  # inputs shorter than the budget: pad dead
+            skey = jnp.concatenate(
+                [skey, jnp.full((k - skey.shape[0],), N, skey.dtype)])
+        skey = jnp.sort(skey)
         ok = skey < N
         idx = jnp.clip(skey, 0, N - 1)
         return score[idx], idx, ok
@@ -928,7 +932,7 @@ def circle_plane_state(img_u8, canny_high: float, min_r: int, max_r: int,
 def propose_from_acc(acc, acc_threshold: float, top_k: int, hw=None,
                      block: int = 1, threshold_factor: float = 0.5,
                      margin_factor: float | None = None,
-                     margin_filter: bool = False):
+                     select_floor: float | None = None):
     """Stage 1b — budget-dependent proposal selection from the accumulator.
 
     Returns (ys, xs, valid, sat): the SET of top_k qualifying maxima (by
@@ -953,15 +957,16 @@ def propose_from_acc(acc, acc_threshold: float, top_k: int, hw=None,
     big-budget rerun. None, or a margin at/below the proposal floor,
     restores the pure-count trigger.
 
-    margin_filter (the big-budget overflow pass's mode): additionally
-    DROP kept proposals whose approximate votes sit below the margin.
-    By the same fixture-wide measurement, a sub-margin proposal cannot
-    be the carrier of any cv2-accepted peak, so in a pass with no
-    further rerun it is pure rescore work (ex5's dense planes carry
-    ~25k sub-margin junk rows across their 16384-budget selections —
-    measured 2026-08-20, tools/diag_tier_counts.py). The base pass must
-    NOT filter: its sub-margin proposals are what make unsaturated base
-    results exact without any margin assumption.
+    select_floor: drop proposals whose approximate votes fall below this
+    absolute vote level (DetectionConfig.carrier_floor_factor *
+    acc_threshold — the measured carrier floor, NOT the 0.7 margin:
+    ex4 v9's cv2-needed carrier sits at exactly 20 approximate votes,
+    below 0.7 * 30 = 21, so filtering at the margin loses it; see the
+    config field for the measurement). Sub-floor proposals are pure
+    rescore cost (dense planes carry thousands of junk rows at the >18
+    proposal floor — measured 2026-08-20, tools/diag_tier_counts.py).
+    Applied inside the selection so the returned rows keep the
+    valid-prefix property. Saturation counts are unaffected.
     """
     H, W = acc.shape
     floor = threshold_factor * acc_threshold
@@ -970,16 +975,19 @@ def propose_from_acc(acc, acc_threshold: float, top_k: int, hw=None,
     margin = None
     if margin_factor is not None and margin_factor * acc_threshold > floor:
         margin = margin_factor * acc_threshold
+    sel_min = None
+    if select_floor is not None and select_floor > floor:
+        sel_min = select_floor
     if margin is None:
         ys, xs, votes, valid, n_live = centre_candidates(
             acc, floor, top_k, hw=hw, block=block, with_count=True,
+            select_min=sel_min,
         )
         sat = n_live > top_k
     else:
         ys, xs, votes, valid, n_live, n_margin = centre_candidates(
             acc, floor, top_k, hw=hw, block=block, with_count=True,
-            margin=margin,
-            select_min=margin if margin_filter else None,
+            margin=margin, select_min=sel_min,
         )
         sat = (n_live > top_k) & (n_margin >= top_k)
     return (jnp.clip(ys, 0, H - 1), jnp.clip(xs, 0, W - 1), valid, sat)
@@ -1232,8 +1240,12 @@ def _stream_select(live, budget: int):
     prefix) that won its microbenchmark but lost ~12% of END-TO-END
     bench throughput to per-row gather overhead at the [budget, block]
     gather. The plain stable argsort runs at ~0.7M rows/ms and fuses
-    well. Returns (idx [budget], ok [budget] bool)."""
+    well. Returns (idx [budget], ok [budget] bool) even when the input
+    has fewer than `budget` rows (zero-fill; ok is False there)."""
     order = jnp.argsort(jnp.logical_not(live), stable=True)
+    if order.shape[0] < budget:
+        order = jnp.concatenate(
+            [order, jnp.zeros((budget - order.shape[0],), order.dtype)])
     idx = order[:budget]
     total = jnp.sum(live, dtype=jnp.int32)
     ok = jnp.arange(budget, dtype=jnp.int32) < total

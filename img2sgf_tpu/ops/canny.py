@@ -183,6 +183,31 @@ def hysteresis_pool(strong, cand, iters: int):
     gate = pack(cand)
     edge0 = pack(strong & cand)
 
+    # On TPU, LARGE packed planes that fit VMEM iterate fully on-chip:
+    # the XLA while_loop below pays ~6 ms of dispatch-bound HBM passes
+    # per sweep, and photo-textured scans (ex15/16 at the 1280 bucket)
+    # need ~54 sweeps — ~1.0 s inside the jitted pipeline that the
+    # in-VMEM kernel does in ~0.2 s (bit-equal; measured 2026-08-20).
+    # The gate is >= 1 MPix because the kernel's Mosaic compile costs
+    # ~220 s per plane shape: only the 1280 class (whose outer and
+    # internal Canny share ONE kernel shape) earns that back; smaller
+    # buckets converge in a handful of sweeps and keep the XLA loop.
+    # Lane width must be 128-aligned for pltpu.roll; the XLA loop is
+    # also the CPU-tests fallback. A diagonal-shear fill variant was
+    # measured (34 sweeps instead of 54) but the XLA shears cost more
+    # than the sweeps they save (703 vs 324 ms).
+    from .common import tpu_backend
+
+    if (tpu_backend() and W % 128 == 0 and H % 8 == 0
+            and H * W >= (1 << 20)
+            and H * W * 4 * 10 <= 100 * 1024 * 1024):
+        from .hysteresis_pallas import hysteresis_pallas_packed
+
+        edge = hysteresis_pallas_packed(edge0, gate, iters)
+        bits = jnp.arange(32, dtype=jnp.uint32)
+        un = (edge[:, None] >> bits[None, :, None, None]) & jnp.uint32(1)
+        return un.reshape(G * 32, H, W)[:P].astype(jnp.bool_)
+
     def cond(state):
         i, _, changed = state
         return (i < iters) & changed

@@ -33,12 +33,19 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     return jax.device_put(batch, sharding)
 
 
-def make_sharded_detector(mesh: Mesh, cfg: DetectionConfig, axis: str = "data"):
+def make_sharded_detector(mesh: Mesh, cfg: DetectionConfig, axis: str = "data",
+                          bucketed: bool = False):
     """Jitted batched detector with inputs/outputs sharded over the batch.
 
     Images: [B, H, W, 3] uint8, thresholds: [B] — B must divide by the mesh
     size. Per-image work is embarrassingly parallel: XLA partitions the
     vmapped program with zero cross-chip collectives.
+
+    bucketed=True returns the serving-path variant over fixed canvases
+    with per-image content dims: run(canvases, thresholds, hs, ws) —
+    mixed native sizes share the one compiled program, and hs/ws (and
+    with them every content-dependent branch: saturation-gated overflow,
+    grid validity, bucketed scan bounds) diverge freely across shards.
     """
     spec = P(axis)
 
@@ -46,6 +53,18 @@ def make_sharded_detector(mesh: Mesh, cfg: DetectionConfig, axis: str = "data"):
     # batched pipeline on its LOCAL shard: the candidate pool and its
     # skip-dead-chunks scan stay chip-local instead of being sequenced
     # over the global batch, and no cross-chip gathers can appear.
+    if bucketed:
+        from ..pipeline.detect import _detect_batch_impl
+
+        def local_b(canvases, thresholds, hs, ws):
+            return _detect_batch_impl(canvases, cfg, thresholds, hs, ws)
+
+        sharded = jax.shard_map(
+            local_b, mesh=mesh, in_specs=(spec, spec, spec, spec),
+            out_specs=spec, check_vma=False,
+        )
+        return jax.jit(sharded)
+
     def local(images, thresholds):
         return detect_board_batch(images, cfg, thresholds)
 

@@ -249,8 +249,10 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
     capacity TRUNCATED candidates (exact counts, not filled-slot
     heuristics), i.e. the plane needs the big-budget rerun.
 
-    margin_filter (overflow-pass mode): drop sub-margin proposals from
-    the selection — provably not carriers (propose_from_acc docstring).
+    margin_filter: prune proposals below the measured carrier floor
+    (cfg.carrier_floor_factor — see the config field and
+    propose_from_acc's select_floor; applied in both the base and the
+    overflow pass, no-op when the config disables it).
     skip_saturated (base-pass mode under an enabled overflow): zero out
     ALL proposals of proposal-saturated planes right after the propose
     stage — their base results are replaced wholesale by the big-budget
@@ -265,6 +267,9 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
     prov_budget = cfg.max_ring_candidates if prov_budget is None else prov_budget
     peak_budget = cfg.max_peak_candidates if peak_budget is None else peak_budget
 
+    sel_floor = None
+    if margin_filter and cfg.carrier_floor_factor is not None:
+        sel_floor = cfg.carrier_floor_factor * cfg.circle_acc_threshold
     with jax.named_scope("circle_propose"):
         if hw_planes is None:
             ys, xs, pvalid, psat = jax.vmap(
@@ -273,7 +278,7 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
                     block=cfg.propose_block,
                     threshold_factor=cfg.propose_threshold_factor,
                     margin_factor=cfg.overflow_margin_factor,
-                    margin_filter=margin_filter,
+                    select_floor=sel_floor,
                 )
             )(st["acc"])
         else:
@@ -283,7 +288,7 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
                     block=cfg.propose_block,
                     threshold_factor=cfg.propose_threshold_factor,
                     margin_factor=cfg.overflow_margin_factor,
-                    margin_filter=margin_filter,
+                    select_floor=sel_floor,
                 )
             )(st["acc"], hw_planes[0], hw_planes[1])
         if skip_saturated:
@@ -400,10 +405,12 @@ def _circles_pooled(planes, cfg: DetectionConfig, hw_planes):
         # rows (the base pass below can afford the cheaper stream-order
         # compaction only because its truncations trigger the rerun)
         circles, valid, _ = _circles_from_state(
-            st, cfg, hw_planes, dedupe_first=True)
+            st, cfg, hw_planes, dedupe_first=True,
+            margin_filter=True)
         return circles, valid
-    circles, valid, sat = _circles_from_state(st, cfg, hw_planes,
-                                              skip_saturated=True)
+    circles, valid, sat = _circles_from_state(
+        st, cfg, hw_planes, skip_saturated=True,
+        margin_filter=True)
 
     P = planes.shape[0]
     RP = _overflow_chunk(P)

@@ -233,6 +233,35 @@ def test_radius_pool_matches_cv2_hist10():
         assert int(np.asarray(got_s)[0, i]) == want_c, f"candidate {i} count"
 
 
+def test_selection_budget_exceeds_plane():
+    """Budgets larger than the plane's candidate population (a small
+    canvas under the 16384 overflow budget — no_circles.jpg's 128-bucket
+    hit this) must produce full-[k] shapes with a dead tail, in every
+    selection primitive (regression: the argsort _stream_select returned
+    min(N, k) rows and crashed propose on (16384,) & (8192,))."""
+    from img2sgf_tpu.hough.circles import (
+        _stream_select, propose_from_acc, top_k_set_by_count,
+    )
+
+    rng = np.random.default_rng(3)
+    live = jnp.asarray(rng.random(100) < 0.3)
+    idx, ok = _stream_select(live, 256)
+    assert idx.shape == (256,) and ok.shape == (256,)
+    assert int(ok.sum()) == int(live.sum())
+
+    score = jnp.where(live, 7.0, -1.0)
+    for via in ("count", "sort"):
+        v, i, o = top_k_set_by_count(score, 256, via=via)
+        assert v.shape == (256,) and i.shape == (256,) and o.shape == (256,)
+        assert int(o.sum()) == int(live.sum())
+
+    acc = jnp.asarray((rng.random((64, 64)) < 0.01) * 40.0)
+    ys, xs, valid, sat = propose_from_acc(
+        acc, 30.0, 16384, margin_factor=0.7, select_floor=19.5)
+    assert ys.shape == (16384,) and valid.shape == (16384,)
+    assert not bool(sat)
+
+
 def test_radius_pallas_matches_xla_pool():
     """Interpret-mode Pallas radius kernel == the XLA window-gather
     radius_support_pool, bit for bit (same _hist10_tables binning by

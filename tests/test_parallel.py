@@ -102,6 +102,148 @@ def test_sharded_real_fixture_matches_golden(mesh, test_images_dir):
     assert int(single.hsize) == 8 and int(single.vsize) == 6
 
 
+def test_sharded_mixed_batch_divergent_shards(mesh, test_images_dir):
+    """Divergent control flow across the mesh (VERDICT r4 #7): a MIXED
+    batch — ex9, ex10, a dense synthetic that SATURATES the proposal
+    budget (its shards alone take the overflow lax.cond's big branch),
+    and no_circles (board not detected) — through the bucketed sharded
+    detector. Per-shard content dims (hs/ws), the saturation sort, the
+    overflow branch, and board_ready all differ shard to shard; every
+    shard's board must match its per-fixture golden and the whole batch
+    must equal the single-device bucketed run bit for bit."""
+    import pathlib
+
+    from img2sgf_tpu.config import choose_line_threshold
+    from img2sgf_tpu.hostio import load_rgb
+    from img2sgf_tpu.pipeline.detect import detect_board_bucket_batch
+
+    # budgets measured against the content (2026-08-20, per-plane
+    # n_live/n_margin counts): base 224 sits between ex9's densest plane
+    # (n_margin 209 -> never saturates, base handles it exactly) and the
+    # synthetic's (220-501 on three planes -> margin-gated saturation),
+    # so ONLY the synthetic shards take the overflow branch
+    cfg = DetectionConfig(
+        max_center_candidates=224, max_ring_candidates=512,
+        max_peak_candidates=512, overflow_center_candidates=1024,
+        overflow_ring_candidates=1024, overflow_peak_candidates=1024,
+        max_circles_per_variant=256, max_lines=256, hysteresis_iters=8,
+    )
+    Hc, Wc = 256, 512
+
+    def synth_dense(h, w):
+        # dense 8x14 midgame, ANTIALIASED stones r=12 (a 1-px soft rim is
+        # load-bearing: hard-edged rasterized circles reach only ~10-19
+        # accumulator votes — their rim gradients quantize away from the
+        # centre cell — and cv2 itself finds ZERO of them at param2=30,
+        # while the antialiased version yields all 96; verified against
+        # cv2 directly). ~96 stones -> hundreds of >=margin maxima per
+        # plane, far beyond the 48-slot base budget, so ONLY these
+        # shards take the overflow lax.cond's big branch.
+        rows, cols_n = 8, 14
+        img = np.full((h, w), 235.0, np.float32)
+        cy = np.linspace(24, h - 24, rows).astype(int)
+        cx = np.linspace(20, w - 20, cols_n).astype(int)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for c in cy:
+            img[c, cx[0]: cx[-1] + 1] = 10
+        for c in cx:
+            img[cy[0]: cy[-1] + 1, c] = 10
+        r = 12.0
+        rng = np.random.default_rng(1)
+        occ = rng.random((rows, cols_n)) < 0.6
+        cols = rng.random((rows, cols_n)) < 0.5
+        for i in range(rows):
+            for j in range(cols_n):
+                if occ[i, j]:
+                    d = np.sqrt((xx - cx[j]) ** 2 + (yy - cy[i]) ** 2)
+                    # black stones: dark disk; white stones: dark OUTLINE
+                    # + bright fill, like printed diagrams (a plain 250
+                    # disk on the 235 background clips to invisibility
+                    # under the reference's contrast enhancement)
+                    a = np.clip(r + 0.5 - d, 0.0, 1.0)
+                    img = img * (1 - a) + 15.0 * a
+                    if not cols[i, j]:
+                        af = np.clip(r - 1.5 - d, 0.0, 1.0)
+                        img = img * (1 - af) + 250.0 * af
+        img = img.astype(np.uint8)
+        return np.repeat(img[:, :, None], 3, axis=2), int(occ.sum())
+
+    synth, n_stones = synth_dense(250, 500)
+    contents = [
+        load_rgb(str(test_images_dir / "ex9.jpg")),
+        load_rgb(str(test_images_dir / "ex10.jpg")),
+        synth,
+        load_rgb(str(test_images_dir / "no_circles.jpg")),
+    ] * 2
+    canv = np.zeros((8, Hc, Wc, 3), np.uint8)
+    hs = np.zeros(8, np.int32)
+    ws = np.zeros(8, np.int32)
+    thr = np.zeros(8, np.float32)
+    for i, rgb in enumerate(contents):
+        h, w = rgb.shape[:2]
+        canv[i, :h, :w] = rgb
+        hs[i], ws[i] = h, w
+        thr[i] = choose_line_threshold(h, w)
+    canv = jnp.asarray(canv)
+    hs, ws, thr = jnp.asarray(hs), jnp.asarray(ws), jnp.asarray(thr)
+
+    run = make_sharded_detector(mesh, cfg, bucketed=True)
+    sharded = run(canv, thr, hs, ws)
+    ready = np.asarray(sharded.board_ready)
+    boards = np.asarray(sharded.full_board)
+
+    # divergence happened: detection outcome differs across shards
+    assert list(ready) == [True, True, True, False] * 2
+
+    gdir = pathlib.Path(__file__).parent / "golden"
+    for i, name in [(0, "ex9"), (1, "ex10"), (4, "ex9"), (5, "ex10")]:
+        golden = np.load(gdir / name / "board.npy")
+        np.testing.assert_array_equal(boards[i], golden, err_msg=name)
+    # the dense synthetic detects its full 8x14 with every stone placed
+    assert sorted([int(np.asarray(sharded.hsize)[2]),
+                   int(np.asarray(sharded.vsize)[2])]) == [8, 14]
+    assert (int(np.asarray(sharded.num_black + sharded.num_white)[2])
+            == n_stones)
+
+    single = jax.jit(
+        lambda c, t, a, b: detect_board_bucket_batch(c, cfg, t, a, b)
+    )(canv, thr, hs, ws)
+    np.testing.assert_array_equal(boards, np.asarray(single.full_board))
+    np.testing.assert_array_equal(ready, np.asarray(single.board_ready))
+
+    # execute the overflow cond's PREDICATE per shard content: only the
+    # synthetic's planes saturate, so the big-budget branch diverged
+    # across the mesh (and the single-device bit-equality above pins
+    # that the branch computed the right thing). Vote-ordered base
+    # truncation recovers the synthetic's strong real circles even
+    # without the overflow, so an output-only check cannot see the
+    # branch; the predicate check can.
+    from img2sgf_tpu.hough.circles import propose_from_acc
+    from img2sgf_tpu.pipeline.detect import (
+        _plane_state_pool, _pre_circles, _variant_dedup,
+    )
+
+    @jax.jit
+    def any_sat(canvas, h, w):
+        _, _, v = _pre_circles(canvas, cfg, (h, w))
+        keep, _ = _variant_dedup(cfg, v.shape[0])
+        planes = v[jnp.asarray(keep)]
+        P = planes.shape[0]
+        hwp = (jnp.full((P,), h, jnp.int32), jnp.full((P,), w, jnp.int32))
+        st = _plane_state_pool(planes, cfg, hwp)
+        _, _, _, sat = jax.vmap(
+            lambda a, hh, ww: propose_from_acc(
+                a, cfg.circle_acc_threshold, cfg.max_center_candidates,
+                hw=(hh, ww), threshold_factor=cfg.propose_threshold_factor,
+                margin_factor=cfg.overflow_margin_factor,
+            )
+        )(st["acc"], *hwp)
+        return jnp.any(sat)
+
+    sat_per_shard = [bool(any_sat(canv[i], hs[i], ws[i])) for i in range(4)]
+    assert sat_per_shard == [False, False, True, False], sat_per_shard
+
+
 @pytest.mark.slow
 def test_graft_entry_dryrun():
     import sys
@@ -168,7 +310,11 @@ def test_multihost_feed_two_processes(tmp_path):
     worker = pathlib.Path(__file__).parent / "_dist_feed_worker.py"
     env = {k: v for k, v in __import__("os").environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    port = "12403"
+    import socket
+
+    with socket.socket() as sock:  # a free port (fixed ports collide)
+        sock.bind(("127.0.0.1", 0))
+        port = str(sock.getsockname()[1])
     procs = [
         subprocess.Popen(
             [_sys.executable, str(worker), str(pid), port, str(listfile),
@@ -192,13 +338,26 @@ def test_multihost_feed_two_processes(tmp_path):
 
     import re
 
+    # reassemble the per-addressable-shard sums: each host holds exactly
+    # its half of the global batch, index-weighted so order mistakes
+    # cannot cancel; totals must match the single-process ground truth
+    shards = []
     for pid, out in enumerate(outs):
-        m = re.search(
-            r"boards_ready=(\d+) checksum=([-\d.]+) intsum=([-\d.]+)", out)
-        assert m, out
-        assert int(m.group(1)) == want_ready, (pid, out)
-        assert abs(float(m.group(2)) - want_checksum) < 0.5, (pid, out)
-        assert abs(float(m.group(3)) - want_intsum) < 1.0, (pid, out)
+        for m in re.finditer(
+                r"SHARD idx=(\d+) n=(\d+) ready=(\d+) "
+                r"checksum=([-\d.]+) intsum=([-\d.]+)", out):
+            shards.append((pid, int(m.group(1)), int(m.group(2)),
+                           int(m.group(3)), float(m.group(4)),
+                           float(m.group(5))))
+    assert len(shards) == 8, outs
+    covered = sorted((idx, idx + n) for _, idx, n, _, _, _ in shards)
+    assert covered == [(i, i + 1) for i in range(8)], covered
+    # worker 0 must hold global rows 0-3, worker 1 rows 4-7
+    for pid, idx, *_ in shards:
+        assert pid == (0 if idx < 4 else 1), shards
+    assert sum(s[3] for s in shards) == want_ready, shards
+    assert abs(sum(s[4] for s in shards) - want_checksum) < 0.5, shards
+    assert abs(sum(s[5] for s in shards) - want_intsum) < 1.0, shards
     # host 1's slice must end with the padded repeat of the last file
     assert re.search(r"worker 1: slice=.*'img6\.jpg', 'img6\.jpg'", outs[1])
     assert re.search(r"worker 0: slice=\['img0\.jpg'", outs[0])
