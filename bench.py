@@ -23,8 +23,9 @@ Baselines (single-thread CPU, reference algorithm re-run headlessly —
 BASELINE.md): blended 18-fixture mean 6.66 img/s; per-class means in
 PERCLASS_BASELINE below.
 
-Batch 64 per the measured knee (docs/DESIGN.md "Batch scaling", flat
-within ~10% from 8 to 128 — per-image compute dominates).
+Batch 32 per the measured knee (docs/DESIGN.md "Batch scaling", flat
+within ~10% from 8 to 128 — per-image compute dominates; re-measured
+after the in-VMEM hysteresis landed: 65.4 at 32 vs 64.0 at 64).
 """
 
 from __future__ import annotations
@@ -42,7 +43,7 @@ BASELINE_DIAGRAMS_PER_SEC = 6.66  # reference CPU, 18-fixture blend, BASELINE.md
 PERCLASS_BASELINE = {768: 5.59, 1280: 3.44}
 HBM_GBPS = 819.0  # v5e peak
 
-BATCH = 64
+BATCH = 32
 SIZE = 512
 
 

@@ -183,23 +183,22 @@ def hysteresis_pool(strong, cand, iters: int):
     gate = pack(cand)
     edge0 = pack(strong & cand)
 
-    # On TPU, LARGE packed planes that fit VMEM iterate fully on-chip:
-    # the XLA while_loop below pays ~6 ms of dispatch-bound HBM passes
-    # per sweep, and photo-textured scans (ex15/16 at the 1280 bucket)
-    # need ~54 sweeps — ~1.0 s inside the jitted pipeline that the
-    # in-VMEM kernel does in ~0.2 s (bit-equal; measured 2026-08-20).
-    # The gate is >= 1 MPix because the kernel's Mosaic compile costs
-    # ~220 s per plane shape: only the 1280 class (whose outer and
-    # internal Canny share ONE kernel shape) earns that back; smaller
-    # buckets converge in a handful of sweeps and keep the XLA loop.
-    # Lane width must be 128-aligned for pltpu.roll; the XLA loop is
-    # also the CPU-tests fallback. A diagonal-shear fill variant was
-    # measured (34 sweeps instead of 54) but the XLA shears cost more
-    # than the sweeps they save (703 vs 324 ms).
+    # On TPU, packed planes that fit VMEM iterate fully on-chip: the XLA
+    # while_loop below pays ~1-6 ms of dispatch-bound HBM passes per
+    # sweep. Measured (2026-08-20, bit-equal): the 768-bucket book-scan
+    # pool 58 -> 7.5 ms; the 1280-bucket photo-textured scans (ex15/16,
+    # ~54 sweeps — diagonal edge runs propagate ~one dilation hop per
+    # sweep) ~1.0 s -> ~0.2 s. Mosaic compile is per plane shape and
+    # scales with it (~28 s at 768^2, ~220 s at 1280^2); each bucket's
+    # pipeline program uses exactly one shape for both the outer and the
+    # internal Canny, so the cost is paid once per bucket program. Lane
+    # width must be 128-aligned for pltpu.roll; the XLA loop is also the
+    # CPU-tests fallback. A diagonal-shear fill variant was measured
+    # (34 sweeps instead of 54) but the XLA shears cost more than the
+    # sweeps they save (703 vs 324 ms).
     from .common import tpu_backend
 
     if (tpu_backend() and W % 128 == 0 and H % 8 == 0
-            and H * W >= (1 << 20)
             and H * W * 4 * 10 <= 100 * 1024 * 1024):
         from .hysteresis_pallas import hysteresis_pallas_packed
 

@@ -127,8 +127,9 @@ def hysteresis_pallas_packed(edge0_u32, gate_u32, iters: int):
     c = gate_u32.astype(jnp.int32)
     if s.ndim == 2:
         return _call_kernel(s, c, iters).astype(jnp.uint32)
-    if s.shape[0] == 1:
-        return _call_kernel(s[0], c[0], iters)[None].astype(jnp.uint32)
-    return jax.lax.map(
-        lambda t: _call_kernel(t[0], t[1], iters), (s, c)
-    ).astype(jnp.uint32)
+    # static Python unroll over the (small) packed-group axis: lax.map's
+    # scan does NOT carry the pallas_call's vmem_limit compiler params
+    # through its body (observed: scoped-vmem OOM at 768^2 with G=2)
+    return jnp.stack([
+        _call_kernel(s[i], c[i], iters) for i in range(s.shape[0])
+    ]).astype(jnp.uint32)
