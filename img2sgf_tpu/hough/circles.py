@@ -1424,7 +1424,7 @@ def radius_support_pool(emask_planes, ys, xs, want, min_r: int, max_r: int,
 
 
 def circle_finalize(ys_c, xs_c, valid2, r_best, support, acc_threshold: float,
-                    min_dist: float, max_out: int):
+                    min_dist: float, max_out: int, packed_sort: bool = True):
     """Stage 3, cv2 4.x/5.x flow: keep supported candidates
     (run count > param2), sort ALL of them by (support desc, radius desc,
     cx asc, cy asc), then greedy minDist overlap removal in that order.
@@ -1436,8 +1436,26 @@ def circle_finalize(ys_c, xs_c, valid2, r_best, support, acc_threshold: float,
     cv2's acceptance order.
     """
     supported = valid2 & (support > acc_threshold)
-    s_key = jnp.where(supported, support, -1.0)
-    order = jnp.lexsort((ys_c, xs_c, -r_best, -s_key))
+    if packed_sort:
+        # pack the 4 sort keys into 2 int32s (half the stable-sort
+        # passes). Exactness: support is an integer run count
+        # <= (2*max_r+1)^2 < 8192 for max_r <= 44 (the packed_sort
+        # gate), and r_best is a multiple of 0.05 by construction
+        # (_hist10_scan's midpoint formula with integer anchors), so
+        # round(r*20) separates every distinct radius; centres fit
+        # x*65536 + y for canvases to 32767 x 65535 (the bucket ladder
+        # tops out at 2048).
+        k1 = jnp.where(
+            supported,
+            support.astype(jnp.int32) * 8192
+            + jnp.round(r_best * 20.0).astype(jnp.int32),
+            -1,
+        )
+        k2 = xs_c.astype(jnp.int32) * 65536 + ys_c.astype(jnp.int32)
+        order = jnp.lexsort((k2, -k1))
+    else:
+        s_key = jnp.where(supported, support, -1.0)
+        order = jnp.lexsort((ys_c, xs_c, -r_best, -s_key))
     ys_s = ys_c[order]
     xs_s = xs_c[order]
     r_s = r_best[order]

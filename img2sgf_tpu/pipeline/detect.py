@@ -335,6 +335,7 @@ def _circles_from_state(st, cfg: DetectionConfig, hw_planes,
             lambda y, x, v, r, s: circle_finalize(
                 y, x, v, r, s, cfg.circle_acc_threshold,
                 cfg.circle_min_dist, cfg.max_circles_per_variant,
+                packed_sort=cfg.circle_max_radius <= 44,
             )
         )(ys_c, xs_c, valid2, r_best, support)
     return circles, valid, psat | ring_sat
