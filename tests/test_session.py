@@ -207,10 +207,19 @@ def test_zoom_geometry_rotated_matches_reference_math():
 @pytest.mark.slow
 def test_zoom_detects_grid_on_ex15():
     """End-to-end zoom UX on ex15 (a needs-zoom book scan, README): full
-    size finds no grid; zooming to the diagram region (twice — the stale-
-    threshold quirk means the first zoom keeps the too-high full-page
-    threshold) detects a grid, and the result agrees with the reference
-    algorithm run on the session's exact crop at the same threshold."""
+    size finds no grid (the auto threshold, 104, is too high for the
+    scan's weak lines); zooming in detects one, and the session's result
+    agrees BIT-FOR-BIT with the reference algorithm run on the session's
+    exact crop at the same threshold.
+
+    The round-4 version of this test zoomed to coordinates on which the
+    REFERENCE itself finds no grid (verified directly: run_pipeline on
+    that exact crop+threshold returns board_ready=False at every commit
+    since the test was added) — it encoded an expectation the reference
+    never met, and had never passed. The coordinates below were probed
+    against the reference first: the top-left quarter detects a partial
+    board, and the second zoom re-runs it at the threshold the stale-
+    region quirk picks from the first zoom's dims (choose(497) = 54)."""
     import pathlib
 
     cv2 = pytest.importorskip("cv2")  # noqa: F841  (oracle needs it)
@@ -231,13 +240,15 @@ def test_zoom_detects_grid_on_ex15():
     s.process()
     assert not s.board_ready  # full page: no grid (matches golden ex15)
 
-    # zoom 1: select the diagram area (canvas 800x600). Threshold stays
-    # the stale full-page value -> still no grid expected.
-    assert s.select_region([75, 85, 478, 402], (800, 600))
-    # zoom 2: select (nearly) the whole zoomed canvas; the threshold is now
-    # chosen from the first zoom's region -> detection succeeds.
+    # zoom 1: the top-left quarter (canvas 800x600, display scale ~1.99
+    # -> image region ~(4,4)-(501,501), the upper part of the diagram)
+    assert s.select_region([2, 2, 252, 252], (800, 600))
+    assert s.board_ready, "ex15 top-left zoom did not detect a grid"
+    # zoom 2: the whole zoomed canvas — exercises the stale-threshold
+    # quirk (threshold re-chosen from zoom 1's region dims: 54)
     assert s.select_region([5, 5, 795, 595], (800, 600))
-    assert s.board_ready, "zoomed ex15 region did not detect a grid"
+    assert s.board_ready, "second ex15 zoom lost the grid"
+    assert int(s.line_threshold) == 54  # the quirk's value, pinned
 
     # agreement with the reference algorithm on the SAME crop + threshold
     x1, y1, x2, y2 = (int(v) for v in s.selection)
