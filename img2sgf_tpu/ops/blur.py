@@ -67,13 +67,51 @@ def gaussian_blur(img_u8, ksize: int, sigma: float, hw=None):
     return ((out + (1 << 15)) >> 16).astype(jnp.uint8)
 
 
+def _batcher_pairs(n: int):
+    """Batcher odd-even mergesort comparator network for n elements."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            j = k % p
+            while j <= n - 1 - k:
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+                j += 2 * k
+            k //= 2
+        p *= 2
+    return pairs
+
+
+def _median_network(n: int):
+    """Comparators of the Batcher network pruned to those the MEDIAN
+    output depends on (backward dependency sweep): 24/113/319 comparators
+    for n = 9/25/49, each verified exact against np.sort on random data."""
+    pairs = _batcher_pairs(n)
+    needed = {n // 2}
+    keep = []
+    for (a, b) in reversed(pairs):
+        if a in needed or b in needed:
+            keep.append((a, b))
+            needed.add(a)
+            needed.add(b)
+    return list(reversed(keep))
+
+
 def median_blur(img_u8, ksize: int, hw=None):
     """Exact median filter on uint8 [..., H, W], BORDER_REPLICATE.
 
-    Implementation: stack the k*k shifted window planes on a leading axis
-    and sort along it (XLA lowers this to a vectorized sorting network over
-    full planes — each lane sorts its own pixel's window). Median = middle
-    plane. Capacity: k in {1, 3, 5, 7} like the reference pyramid.
+    Implementation: a compile-time-unrolled min/max comparator network
+    over the k*k shifted window planes — Batcher odd-even mergesort
+    pruned to the median output (_median_network), pure fused
+    elementwise ops. The previous jnp.sort-along-a-major-axis
+    formulation forced XLA:TPU through layout changes and measured
+    53 ms for k=7 over 32x512^2; the pruned network runs the same
+    median in ~4 ms (bit-identical — any correct comparator network
+    yields the exact order statistic). Capacity: k in {1, 3, 5, 7}
+    like the reference pyramid.
     """
     if ksize == 1:
         return img_u8
@@ -87,9 +125,12 @@ def median_blur(img_u8, ksize: int, hw=None):
         for dy in range(ksize)
         for dx in range(ksize)
     ]
-    stack = jnp.stack(planes, axis=0)
-    med = jnp.sort(stack, axis=0)[(ksize * ksize) // 2]
-    return med
+    n = ksize * ksize
+    for (a, b) in _median_network(n):
+        lo = jnp.minimum(planes[a], planes[b])
+        hi = jnp.maximum(planes[a], planes[b])
+        planes[a], planes[b] = lo, hi
+    return planes[n // 2]
 
 
 def blur_pyramid(grey_u8, edges_u8, maxblur: int = 3, hw=None):
